@@ -1,0 +1,132 @@
+"""Query↔series similarity matching over shared clusters.
+
+Re-implements the reference query_db per-series compute (everything after
+the InfluxDB fetch): cross-cluster extraction
+(/root/reference/src/controllers/time_series_controller.jl:123-199),
+containment filter (...:1990-2040) and match score (...:1978-1988).
+The distributed (Spark) version feeds one call per (query, doc) pair.
+"""
+
+from __future__ import annotations
+
+from ..config import (
+    DEFAULT_MERGE_THRESHOLD_RATIO,
+    DEFAULT_QUERY_MIN_MATCH_WINDOW,
+    DEFAULT_RANGE_MAX,
+    DEFAULT_RANGE_MIN,
+    SUBSEQUENCE_MIN_WINDOW_SIZE,
+)
+from .manager import ClusterManager
+
+__all__ = [
+    "build_query_seed",
+    "match_series",
+    "filter_contained_matches",
+    "match_score",
+]
+
+
+def build_query_seed(
+    query_tokens,
+    merge_threshold: float = DEFAULT_MERGE_THRESHOLD_RATIO,
+    range_min: int = DEFAULT_RANGE_MIN,
+    range_max: int = DEFAULT_RANGE_MAX,
+) -> ClusterManager:
+    """Seed manager clustered over the query only (reference ...:123-136)."""
+    mgr = ClusterManager(
+        [float(int(v)) for v in query_tokens],
+        merge_threshold,
+        SUBSEQUENCE_MIN_WINDOW_SIZE,
+        True,
+        scale_mode="range_fixed",
+        range_min=range_min,
+        range_max=range_max,
+    )
+    mgr.process_data()
+    return mgr
+
+
+def _match_contains(outer, inner) -> bool:
+    oq, od, ow = outer
+    iq, id_, iw = inner
+    return (
+        oq <= iq
+        and od <= id_
+        and iq + iw <= oq + ow
+        and id_ + iw <= od + ow
+        and (ow > iw or oq != iq or od != id_)
+    )
+
+
+def filter_contained_matches(matches):
+    """Dedup (q_start, db_start, ws) then drop strictly-contained matches;
+    sort by (q_start, db_start, -ws).  Reference ...:2005-2040."""
+    if not matches:
+        return []
+    deduped = []
+    seen = set()
+    for m in matches:
+        if m not in seen:
+            seen.add(m)
+            deduped.append(m)
+    kept = []
+    for i, m in enumerate(deduped):
+        contained = False
+        for j, other in enumerate(deduped):
+            if i != j and _match_contains(other, m):
+                contained = True
+                break
+        if not contained:
+            kept.append(m)
+    kept.sort(key=lambda m: (m[0], m[1], -m[2]))
+    return kept
+
+
+def match_score(matches) -> list[int]:
+    """Desc-sorted per-window-size match counts (lexicographic rank key).
+    Reference ...:1978-1988."""
+    if not matches:
+        return []
+    counts: dict[int, int] = {}
+    for _, _, ws in matches:
+        counts[ws] = counts.get(ws, 0) + 1
+    return [counts[k] for k in sorted(counts, reverse=True)]
+
+
+def match_series(
+    seed: ClusterManager,
+    db_tokens,
+    min_match_window: int = DEFAULT_QUERY_MIN_MATCH_WINDOW,
+):
+    """Append a DB series to a copy of the query seed and extract
+    cross-cluster matches (reference ...:157-201).
+
+    Returns (matches, score) where matches = [(q_start, db_start, ws)].
+    The caller must not reuse ``seed`` mutably — a deep copy is taken.
+    """
+    import copy
+
+    mgr = copy.deepcopy(seed)
+    qlen = len(seed.data_view())
+    db_values = [float(int(v)) for v in db_tokens]
+    for v in db_values:
+        mgr.add_data_point(v)
+
+    slen = len(db_values)
+    matches: list[tuple[int, int, int]] = []
+    for ws, _cid, inds in mgr.timeline():
+        if ws < min_match_window:
+            continue
+        has_q = any(i < qlen for i in inds)
+        has_db = any(i >= qlen for i in inds)
+        if not (has_q and has_db):
+            continue
+        q_indices = sorted(i for i in inds if i < qlen and i + ws <= qlen)
+        db_indices = sorted(i - qlen for i in inds if i >= qlen and (i - qlen) + ws <= slen)
+        if q_indices and db_indices:
+            for qi in q_indices:
+                for dbi in db_indices:
+                    matches.append((qi, dbi, ws))
+
+    kept = filter_contained_matches(matches)
+    return kept, match_score(kept)

@@ -1,0 +1,3 @@
+from .synth import EDGE_DOCS, synth_tokens, synth_tokens_table
+
+__all__ = ["EDGE_DOCS", "synth_tokens", "synth_tokens_table"]

@@ -1,0 +1,87 @@
+"""Codec round-trip properties (FIXTURES.md §2.4): decode(encode(x)) == x
+exactly, across adversarial patterns."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tsc_spark.codecs import decode_dod, decode_gorilla, encode_dod, encode_gorilla
+from tsc_spark.sources import synth_tokens
+
+ADVERSARIAL_INT = [
+    [],
+    [0],
+    [5],
+    [-7],
+    [3] * 16,
+    list(range(100)),
+    [0, 24] * 50,
+    [2**31 - 1, -(2**31), 0, 1, -1],
+    [1000000, -1000000] * 7,
+]
+
+
+@pytest.mark.parametrize("case", ADVERSARIAL_INT, ids=range(len(ADVERSARIAL_INT)))
+def test_dod_roundtrip_adversarial(case):
+    out = decode_dod(encode_dod(case))
+    assert out.tolist() == case
+
+
+def test_dod_roundtrip_synth_corpus():
+    for doc_id, toks, _src in synth_tokens(64, include_edges=True):
+        assert decode_dod(encode_dod(toks)).tolist() == toks, doc_id
+
+
+def test_dod_compresses_constant_runs():
+    toks = [7] * 1000
+    assert len(encode_dod(toks)) < 1010  # ~1 byte/value worst, constant ≈ n bytes
+    ramp = list(range(1000))
+    assert len(encode_dod(ramp)) < 1010
+
+
+@given(st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_dod_roundtrip_property(xs):
+    assert decode_dod(encode_dod(xs)).tolist() == xs
+
+
+ADVERSARIAL_FLOAT = [
+    [],
+    [0.0],
+    [1.5],
+    [3.0] * 16,
+    [0.1, 0.2, 0.3, 0.4],
+    [1e-300, 1e300, -1e-300, -0.0, 0.0],
+    list(np.linspace(0, 1, 77)),
+    [float("inf"), float("-inf"), 1.0],
+]
+
+
+@pytest.mark.parametrize("case", ADVERSARIAL_FLOAT, ids=range(len(ADVERSARIAL_FLOAT)))
+def test_gorilla_roundtrip_adversarial(case):
+    out = decode_gorilla(encode_gorilla(case))
+    np.testing.assert_array_equal(out, np.asarray(case, dtype=np.float64))
+
+
+def test_gorilla_nan_bits_preserved():
+    x = np.array([np.nan, 1.0, np.nan])
+    out = decode_gorilla(encode_gorilla(x))
+    assert np.array_equal(x.view(np.uint64), out.view(np.uint64))
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, width=64),
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_gorilla_roundtrip_property(xs):
+    out = decode_gorilla(encode_gorilla(xs))
+    np.testing.assert_array_equal(out, np.asarray(xs, dtype=np.float64))
+
+
+def test_gorilla_compresses_constant():
+    enc = encode_gorilla([42.0] * 1000)
+    assert len(enc) < 4 + 8 + 1000 + 10  # control bytes only, no payload

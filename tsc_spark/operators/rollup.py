@@ -1,0 +1,173 @@
+"""Tiered continuous aggregates (1×/8×/64× downsample) with gap-fill.
+
+The genuinely new aggregation mandated by the north rule on top of the
+reference's clustering (the reference's analogue is the per-series point
+stream grouped by synthetic time, /root/reference/scripts/seed_influx.jl:
+575-598).  Everything here is native DataFrame API — Catalyst sees every
+operator, so AQE handles partial aggregation, shuffle sizing and skew.
+
+Design for 100 TB:
+* tier-1 aggregates from the exploded points with map-side partial agg
+  (hash aggregate before the doc_id shuffle);
+* tier-2 composes from tier-1 (8 windows → 1), an 8× smaller shuffle —
+  continuous-aggregate style, never re-reads raw points;
+* gap-fill generates the expected window grid with ``sequence`` +
+  explode and left-joins actuals: both sides are partitioned by doc_id,
+  so AQE plans a co-partitioned join without a broadcast of big data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import TIER_STRIDES
+
+__all__ = [
+    "explode_points",
+    "rollup_points",
+    "rollup_from_lower_tier",
+    "tiered_rollups",
+    "gapfill_locf",
+    "series_stats",
+]
+
+
+def explode_points(tokens_df: DataFrame) -> DataFrame:
+    """tokens table → dense point stream (doc_id, point_index, token).
+
+    Equivalent of the reference's per-point rows keyed by series tag +
+    point_index field (scripts/seed_influx.jl:589-596)."""
+    return tokens_df.select(
+        "doc_id",
+        F.posexplode("tokens").alias("point_index", "token"),
+    )
+
+
+def rollup_points(points: DataFrame, stride: int, tier: int) -> DataFrame:
+    """Aggregate a (doc_id, point_index, token) stream into tier windows.
+
+    Deterministic reducers only (count/min/max/sum) so rolled-up points
+    are exactly reproducible at any parallelism."""
+    return (
+        points.groupBy(
+            "doc_id",
+            (F.col("point_index") / F.lit(stride)).cast("long").alias("window_idx"),
+        )
+        .agg(
+            F.count("token").alias("agg_count"),
+            F.min("token").alias("agg_min"),
+            F.max("token").alias("agg_max"),
+            F.sum("token").alias("agg_sum"),
+        )
+        .withColumn("tier", F.lit(tier))
+    )
+
+
+def rollup_from_lower_tier(lower: DataFrame, factor: int, tier: int) -> DataFrame:
+    """Compose a higher tier from the tier below (8 windows → 1).
+
+    count/min/max/sum are decomposable, so the rollup is exact and never
+    re-reads raw points (continuous-aggregate compaction)."""
+    return (
+        lower.groupBy(
+            "doc_id",
+            (F.col("window_idx") / F.lit(factor)).cast("long").alias("window_idx"),
+        )
+        .agg(
+            F.sum("agg_count").alias("agg_count"),
+            F.min("agg_min").alias("agg_min"),
+            F.max("agg_max").alias("agg_max"),
+            F.sum("agg_sum").alias("agg_sum"),
+        )
+        .withColumn("tier", F.lit(tier))
+    )
+
+
+def _expected_grid(tokens_df: DataFrame, stride: int) -> DataFrame:
+    """One row per expected window: ceil(n_tok / stride) windows per doc
+    (docs with n_tok == 0 have no expected windows)."""
+    n_win = F.ceil(F.col("n_tok") / F.lit(stride)).cast("long")
+    return (
+        tokens_df.select("doc_id", n_win.alias("n_win"))
+        .filter(F.col("n_win") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_win") - 1)).alias(
+                "window_idx"
+            ),
+        )
+    )
+
+
+def gapfill(
+    rollup: DataFrame, tokens_df: DataFrame, stride: int, tier: int
+) -> DataFrame:
+    """Left-join the expected window grid with actual rollup windows.
+
+    Missing windows are emitted with agg_count=0 and NULL min/max/sum,
+    gapfilled=true (the LOCF carry-forward is the separate, composable
+    ``gapfill_locf`` operator).  Dense token arrays have no gaps by
+    construction; gaps appear for sparse point streams (deletes,
+    retention-expired segments)."""
+    grid = _expected_grid(tokens_df, stride)
+    joined = grid.join(rollup, ["doc_id", "window_idx"], "left")
+    return joined.select(
+        "doc_id",
+        F.lit(tier).alias("tier"),
+        "window_idx",
+        F.coalesce(F.col("agg_count"), F.lit(0)).alias("agg_count"),
+        "agg_min",
+        "agg_max",
+        "agg_sum",
+        F.col("agg_count").isNull().alias("gapfilled"),
+    )
+
+
+def gapfill_locf(filled: DataFrame) -> DataFrame:
+    """Carry the previous non-gap window's aggregates forward into gaps
+    (last-observation-carried-forward), per doc in window order."""
+    w = (
+        Window.partitionBy("doc_id", "tier")
+        .orderBy("window_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "doc_id",
+        "tier",
+        "window_idx",
+        "agg_count",
+        F.last("agg_min", ignorenulls=True).over(w).alias("agg_min"),
+        F.last("agg_max", ignorenulls=True).over(w).alias("agg_max"),
+        F.last("agg_sum", ignorenulls=True).over(w).alias("agg_sum"),
+        "gapfilled",
+    )
+
+
+def tiered_rollups(tokens_df: DataFrame, with_gapfill: bool = True) -> dict[int, DataFrame]:
+    """Full tier-0/1/2 rollup set from a tokens table.
+
+    tier-0 = stride 1 (raw points as windows), tier-1 = 8×, tier-2 = 64×
+    (composed from tier-1).  Returns {tier: DataFrame}."""
+    points = explode_points(tokens_df)
+    t0 = rollup_points(points, TIER_STRIDES[0], 0)
+    t1 = rollup_points(points, TIER_STRIDES[1], 1)
+    t2 = rollup_from_lower_tier(t1, TIER_STRIDES[2] // TIER_STRIDES[1], 2)
+    out = {0: t0, 1: t1, 2: t2}
+    if with_gapfill:
+        out = {
+            tier: gapfill(df, tokens_df, TIER_STRIDES[tier], tier)
+            for tier, df in out.items()
+        }
+    return out
+
+
+def series_stats(tokens_df: DataFrame) -> DataFrame:
+    """Per-series stats scan (reference _fetch_series_stats*,
+    /root/reference/src/controllers/time_series_controller.jl:648-691):
+    series list + point counts, computed without exploding (F.size)."""
+    return tokens_df.select(
+        "doc_id",
+        "source",
+        F.size("tokens").alias("point_count"),
+    )

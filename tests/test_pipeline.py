@@ -1,0 +1,75 @@
+"""Resumable pipeline: checkpoint manifests, no duplicate work on
+resume, identical outputs vs a fresh full run (SURVEY §5.5)."""
+
+import os
+
+import pytest
+
+from tsc_spark.functions import decode_tokens_table
+from tsc_spark.plans.pipeline import (
+    ingest,
+    pipeline_metrics,
+    read_tier,
+    run_pipeline,
+)
+
+
+@pytest.fixture()
+def base_dir(tmp_path, spark, tokens_df):
+    d = str(tmp_path / "pipe")
+    ingest(spark, tokens_df, d, n_buckets=4)
+    return d
+
+
+def _tier_snapshot(spark, base_dir, tier):
+    rows = read_tier(spark, base_dir, tier).collect()
+    return sorted(
+        (r.doc_id, r.window_idx, r.agg_count, r.agg_min, r.agg_max, r.agg_sum, r.gapfilled)
+        for r in rows
+    )
+
+
+class TestPipeline:
+    def test_full_run_writes_all_manifests(self, spark, base_dir):
+        manifests = run_pipeline(spark, base_dir, with_timeline=False)
+        assert len(manifests) == 4
+        assert all(m["watermarks"]["tier2_max_window_idx"] >= -1 for m in manifests)
+        assert all(m["docs"] > 0 for m in manifests)
+        assert sum(m["docs"] for m in manifests) == 56  # 48 synth + 8 edge
+
+    def test_resume_skips_done_buckets(self, spark, base_dir):
+        first = run_pipeline(spark, base_dir, buckets=[0, 1], with_timeline=False)
+        assert [m["bucket"] for m in first] == [0, 1]
+        # mtimes of finished buckets must not change on resume
+        m0 = os.path.join(base_dir, "_checkpoints", "bucket=00000.json")
+        mtime_before = os.path.getmtime(m0)
+        rest = run_pipeline(spark, base_dir, with_timeline=False)
+        assert [m["bucket"] for m in rest] == [2, 3]
+        assert os.path.getmtime(m0) == mtime_before
+
+    def test_resumed_equals_fresh(self, spark, tokens_df, tmp_path):
+        d1 = str(tmp_path / "fresh")
+        ingest(spark, tokens_df, d1, n_buckets=4)
+        run_pipeline(spark, d1, with_timeline=False)
+
+        d2 = str(tmp_path / "resumed")
+        ingest(spark, tokens_df, d2, n_buckets=4)
+        run_pipeline(spark, d2, buckets=[1, 3], with_timeline=False)  # partial
+        run_pipeline(spark, d2, with_timeline=False)  # resume the rest
+
+        for tier in (0, 1, 2):
+            assert _tier_snapshot(spark, d1, tier) == _tier_snapshot(spark, d2, tier)
+
+    def test_encoded_roundtrip_through_parquet(self, spark, base_dir, tokens_rows):
+        run_pipeline(spark, base_dir, with_timeline=False)
+        enc = spark.read.parquet(os.path.join(base_dir, "encoded"))
+        dec = decode_tokens_table(enc)
+        got = {r.doc_id: list(r.tokens) for r in dec.collect()}
+        for doc_id, toks, _src in tokens_rows:
+            assert got[doc_id] == toks, doc_id
+
+    def test_metrics_readable(self, spark, base_dir):
+        run_pipeline(spark, base_dir, with_timeline=False)
+        metrics = pipeline_metrics(base_dir)
+        assert len(metrics) == 4
+        assert all("points_per_sec" in m and "doc_id_range" in m for m in metrics)

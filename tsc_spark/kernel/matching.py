@@ -97,16 +97,18 @@ def match_series(
     seed: ClusterManager,
     db_tokens,
     min_match_window: int = DEFAULT_QUERY_MIN_MATCH_WINDOW,
+    copy_seed: bool = True,
 ):
     """Append a DB series to a copy of the query seed and extract
     cross-cluster matches (reference ...:157-201).
 
     Returns (matches, score) where matches = [(q_start, db_start, ws)].
-    The caller must not reuse ``seed`` mutably — a deep copy is taken.
+    With ``copy_seed=True`` a deep copy is taken; pass False when the
+    caller already owns a throwaway copy (e.g. fresh unpickle per doc).
     """
     import copy
 
-    mgr = copy.deepcopy(seed)
+    mgr = copy.deepcopy(seed) if copy_seed else seed
     qlen = len(seed.data_view())
     db_values = [float(int(v)) for v in db_tokens]
     for v in db_values:

@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Hashing is md5-derived everywhere (F.md5 → hex → int) so the SQL oracle
+can reproduce signatures bit-for-bit; at production scale swap the hash
+for xxhash64 (same plan shape, cheaper hash) — the band/bucket join
+topology is what matters:
+
+  shingle → k minhashes (groupBy doc, min per seed)
+          → b bands (hash of r consecutive minhashes)
+          → bucket self-join (only within-band equality, never a cross
+            join) → candidate pairs → exact-Jaccard verify.
+
+All joins are equi-joins on band hashes, so Catalyst plans shuffled hash
+joins with AQE skew splitting; nothing is quadratic in corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dup_groups",
+    "shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+]
+
+
+def _norm_text() -> F.Column:
+    return F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: groups with >1 member."""
+    return (
+        docs.select("doc_id", F.md5(_norm_text()).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    words = F.split(F.col("text"), " ")
+    # guard: sequence(0, size-n) is only valid when size >= n (Spark's
+    # sequence auto-steps backwards for stop < start, which would emit
+    # bogus negative indices)
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join on shingles (equi-join; only docs sharing a
+    shingle ever meet) — never a cross join."""
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _h32(col: F.Column, seed: int) -> F.Column:
+    """Deterministic 32-bit hash reproducible in ANSI SQL:
+    first 8 hex digits of md5(seed || value) as bigint."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), col)), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 8) -> DataFrame:
+    """MinHash signature per doc: k per-seed minima over shingle hashes."""
+    sh = shingles(docs, n)
+    aggs = [F.min(_h32(F.col("shingle"), i)).alias(f"mh{i}") for i in range(k)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n: int = 3, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs."""
+    sig = minhash_signatures(docs, n, k)
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(f"band{b}")
+        )
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        stacked.alias("a")
+        .join(stacked.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over word features: sign-aggregated bit votes.
+
+    bit_j(doc) = 1 iff Σ_words (hash_bit_j(word) ? +1 : -1) > 0."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    h = _h32(F.col("word"), 99)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else (sim + bit)
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))

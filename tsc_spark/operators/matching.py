@@ -1,0 +1,167 @@
+"""Distributed query↔corpus similarity search (reference query_db).
+
+The reference scans series sequentially over HTTP chunks
+(/root/reference/src/controllers/time_series_controller.jl:118-201); the
+Spark shape is: cluster the (small) query once on the driver, broadcast
+the pickled seed state to executors, run the per-doc matching kernel in
+a shuffle-free mapInPandas, then score/sort natively:
+
+  broadcast(seed) → mapInPandas(match per doc) → matches rows
+  → groupBy(doc).score vector → orderBy(score desc)  [one small shuffle
+    over matched docs only — matches are sparse relative to the corpus]
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import (
+    DEFAULT_MERGE_THRESHOLD_RATIO,
+    DEFAULT_QUERY_MIN_MATCH_WINDOW,
+    DEFAULT_RANGE_MAX,
+    DEFAULT_RANGE_MIN,
+)
+
+__all__ = [
+    "query_matches",
+    "match_scores",
+    "exact_window_matches",
+    "filter_contained_relational",
+]
+
+MATCH_SCHEMA = "doc_id string, q_start int, db_start int, window_size int"
+
+
+def query_matches(
+    spark: SparkSession,
+    tokens_df: DataFrame,
+    query_tokens: list[int],
+    merge_threshold: float = DEFAULT_MERGE_THRESHOLD_RATIO,
+    min_match_window: int = DEFAULT_QUERY_MIN_MATCH_WINDOW,
+    range_min: int = DEFAULT_RANGE_MIN,
+    range_max: int = DEFAULT_RANGE_MAX,
+) -> DataFrame:
+    """All (doc_id, q_start, db_start, window_size) matches of the query
+    against every corpus series (containment-filtered, per reference
+    semantics ...:2005-2040)."""
+    from ..kernel.matching import build_query_seed, match_series
+
+    seed = build_query_seed(query_tokens, merge_threshold, range_min, range_max)
+    bc = spark.sparkContext.broadcast(pickle.dumps(seed))
+    mmw = int(min_match_window)
+
+    src = tokens_df.select("doc_id", "tokens")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seed_bytes = bc.value
+        for pdf in batches:
+            out = {"doc_id": [], "q_start": [], "db_start": [], "window_size": []}
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                if len(toks) == 0:
+                    continue
+                # fresh seed state per doc (pickle round-trip = deepcopy)
+                local_seed = pickle.loads(seed_bytes)
+                kept, _score = match_series(local_seed, toks, mmw, copy_seed=False)
+                for qs, ds, ws in kept:
+                    out["doc_id"].append(doc_id)
+                    out["q_start"].append(qs)
+                    out["db_start"].append(ds)
+                    out["window_size"].append(ws)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "q_start": pd.Series(out["q_start"], dtype="int32"),
+                    "db_start": pd.Series(out["db_start"], dtype="int32"),
+                    "window_size": pd.Series(out["window_size"], dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(run, MATCH_SCHEMA)
+
+
+def match_scores(matches: DataFrame) -> DataFrame:
+    """Per-doc match score = desc-sorted per-window-size count vector
+    (reference _match_score ...:1978-1988), ranked lexicographically —
+    Spark's array<int> ordering matches the reference's rank rule."""
+    per_ws = matches.groupBy("doc_id", "window_size").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_ws.groupBy("doc_id")
+        .agg(
+            F.reverse(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("window_size", "cnt"))
+                    ),
+                    lambda s: s["cnt"],
+                )
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+def exact_window_matches(tokens_df: DataFrame, window_sizes=(3, 4)) -> DataFrame:
+    """Within-doc exact window self-matches: positions (i, j), i<j, where
+    tokens[i:i+ws] == tokens[j:j+ws].
+
+    Relational re-expression of the reference's cross-product match
+    expansion (...:188-199): explode windows as join keys, equi-join on
+    (doc_id, window) — an inverted index, never a positional cross
+    product."""
+    outs = []
+    for ws in window_sizes:
+        words = F.col("tokens")
+        win = F.when(
+            F.size(words) >= ws,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - ws),
+                lambda i: F.concat_ws("_", F.slice(words, i + 1, ws)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = tokens_df.select(
+            "doc_id", F.posexplode(win).alias("pos", "win")
+        )
+        pairs = (
+            sh.alias("a")
+            .join(sh.alias("b"), ["doc_id", "win"])
+            .filter(F.col("a.pos") < F.col("b.pos"))
+            .select(
+                "doc_id",
+                F.col("a.pos").alias("q_start"),
+                F.col("b.pos").alias("db_start"),
+                F.lit(ws).alias("window_size"),
+            )
+        )
+        outs.append(pairs)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def filter_contained_relational(matches: DataFrame) -> DataFrame:
+    """Drop matches strictly contained in another match of the same doc —
+    the reference containment anti-filter (_match_contains /
+    _filter_contained_matches, ...:1990-2040) as a left-anti self-join."""
+    m = matches.alias("m")
+    o = matches.alias("o")
+    contains = (
+        (F.col("o.doc_id") == F.col("m.doc_id"))
+        & (F.col("o.q_start") <= F.col("m.q_start"))
+        & (F.col("o.db_start") <= F.col("m.db_start"))
+        & (F.col("m.q_start") + F.col("m.window_size") <= F.col("o.q_start") + F.col("o.window_size"))
+        & (F.col("m.db_start") + F.col("m.window_size") <= F.col("o.db_start") + F.col("o.window_size"))
+        & (
+            (F.col("o.window_size") > F.col("m.window_size"))
+            | (F.col("o.q_start") != F.col("m.q_start"))
+            | (F.col("o.db_start") != F.col("m.db_start"))
+        )
+    )
+    return m.join(o, contains, "left_anti")

@@ -52,7 +52,7 @@ def rollup_points(points: DataFrame, stride: int, tier: int) -> DataFrame:
     return (
         points.groupBy(
             "doc_id",
-            (F.col("point_index") / F.lit(stride)).cast("long").alias("window_idx"),
+            F.floor(F.col("point_index") / F.lit(stride)).cast("long").alias("window_idx"),
         )
         .agg(
             F.count("token").alias("agg_count"),
@@ -72,7 +72,7 @@ def rollup_from_lower_tier(lower: DataFrame, factor: int, tier: int) -> DataFram
     return (
         lower.groupBy(
             "doc_id",
-            (F.col("window_idx") / F.lit(factor)).cast("long").alias("window_idx"),
+            F.floor(F.col("window_idx") / F.lit(factor)).cast("long").alias("window_idx"),
         )
         .agg(
             F.sum("agg_count").alias("agg_count"),

@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All hot-path expressions are native pyspark.sql.functions (JVM side,
+whole-stage codegen); no Python UDFs.  Each operator has an exact ANSI
+SQL twin in __spark_entry__.oracle_sql for the DuckDB correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokenize_documents",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "fingerprint",
+]
+
+# tiny deterministic English stopword set (shared with the SQL oracle)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def tokenize_documents(docs: DataFrame, vocab: int = 24) -> DataFrame:
+    """Derive the north-rule tokens table from `documents` text.
+
+    Deterministic, engine-portable word→token map (no external
+    tokenizer): token = (7*len(word) + ascii(first_char)) mod vocab.
+    Gives the clustering/rollup operators a real corpus-shaped input
+    that a SQL oracle can reproduce exactly.
+    """
+    words = F.split(F.col("text"), " ")
+    tokens = F.transform(
+        words,
+        lambda w: ((F.length(w) * 7 + F.ascii(F.substring(w, 1, 1))) % vocab).cast(
+            "int"
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(words).cast("int").alias("n_tok"),
+        "source",
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace words, BPE-ish subword estimate, chars."""
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.length("text").alias("n_chars"),
+        # BPE-ish proxy: one token per ~4 chars, at least one per word
+        F.greatest(
+            F.size(words), F.ceil(F.length("text") / 4).cast("int")
+        ).alias("n_tokens_est"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality metrics: length, punct ratio, stopword ratio,
+    mean word length — the standard pre-training quality signals."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    stop_hits = F.size(F.filter(words, lambda w: F.lower(w).isin(STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)), 6
+        ).alias("mean_word_len"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-free language heuristic: stopword hit ratio ≥ 2% → 'en'.
+
+    (Real model-based lang-id would be a broadcast dictionary / model in
+    a pandas UDF; the decision plumbing is what matters here.)"""
+    words = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(words, lambda w: F.lower(w).isin(STOPWORDS)))
+    ratio = stop_hits / F.greatest(F.size(words), F.lit(1))
+    return docs.select(
+        "doc_id",
+        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unknown")).alias("lang"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalised lowercase text
+    (reference stable_id idea, /root/reference/scripts/seed_influx.jl:534-536,
+    with md5 instead of sha1 for engine portability)."""
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+    )

@@ -154,6 +154,21 @@ class ClusterManager:
         self.cluster_id_counter = 1
         self.tasks: list[tuple[list[int], int]] = []
 
+        # --- vectorized root index ---------------------------------------
+        # Root-cluster distance scans dominate the per-step cost, so root
+        # ids/representatives are mirrored in flat numpy arrays.  Ids only
+        # ever grow, so _root_ids stays ascending and argmin's first-hit
+        # tie-break == the reference's smaller-id tie-break (...:1259).
+        self._root_ids: list[int] = [0]
+        self._root_row: dict[int, int] = {0: 0}
+        cap0 = 16
+        self._root_reps = np.zeros((cap0, mw), dtype=np.float64)
+        if seed_rep is not None:
+            self._root_reps[0] = seed_rep
+        self._root_empty: set[int] = set() if seed_rep is not None else {0}
+        # start index -> owning root id (each start joins at most one root)
+        self._start_to_root: dict[int, int] = {0: 0}
+
         self.updated_dist: dict[int, set[int]] = {mw: {0}}
         self.updated_qty: dict[int, set[int]] = {mw: {0}}
 
@@ -281,13 +296,33 @@ class ClusterManager:
             if tag == _J_DATA:
                 self._pop()
             elif tag == _J_SI:
-                entry[1].si.pop()
+                s = entry[1].si.pop()
+                if entry[2] is not None:  # root membership undo
+                    self._start_to_root.pop(s, None)
             elif tag == _J_AS:
                 entry[1].rep = entry[2]
+                root_cid = entry[3]
+                if root_cid is not None:  # restore root rep mirror
+                    row = self._root_row[root_cid]
+                    if entry[2] is None:
+                        self._root_empty.add(root_cid)
+                    else:
+                        self._root_reps[row] = entry[2]
+                        self._root_empty.discard(root_cid)
             elif tag == _J_CC:
                 del entry[1][entry[2]]
             elif tag == _J_ROOT:
-                del self.clusters[entry[1]]
+                cid = entry[1]
+                node = self.clusters[cid]
+                if node.si:
+                    self._start_to_root.pop(node.si[0], None)
+                del self.clusters[cid]
+                # root additions are append-only; reversed journal order
+                # guarantees this is the last row
+                assert self._root_ids[-1] == cid
+                self._root_ids.pop()
+                del self._root_row[cid]
+                self._root_empty.discard(cid)
             elif tag == _J_WS_DIST:
                 del self.dist_cache[entry[1]]
             elif tag == _J_WS_QTY:
@@ -379,29 +414,53 @@ class ClusterManager:
 
         self._process_roots(data_index, self._max_distance(self.min_window_size))
 
+    def _seq_dists_batch(self, reps: np.ndarray, latest_seq: np.ndarray) -> np.ndarray:
+        """Euclidean distance of each row of ``reps`` (k, L) to latest_seq.
+
+        Row-wise identical arithmetic to euclidean_distance: clamp01 per
+        step, square, *sequential* sum along the step axis
+        (np.add.accumulate), sqrt — bit-equal to the scalar path."""
+        d = np.abs(reps - latest_seq) / self.value_width
+        np.clip(d, 0.0, 1.0, out=d)
+        d *= d
+        if d.shape[1] == 1:
+            s = d[:, 0]
+        else:
+            s = np.add.accumulate(d, axis=1)[:, -1]
+        return np.sqrt(s)
+
     def _process_existing(
         self, parent, latest_seq, max_distance, latest_start, new_length, keys_to_parent
     ) -> None:
         # nearest child by (distance, cluster_id) — reference ...:1144-1157;
         # the (d, id) min is iteration-order independent.
-        best_id = -1
-        best_child = None
-        min_distance = math.inf
-        for cid in sorted(parent.cc):
-            child = parent.cc[cid]
-            d = self.euclidean_distance(child.rep, latest_seq)
-            if d < min_distance:
-                min_distance = d
-                best_child = child
-                best_id = cid
+        cids = sorted(parent.cc)
+        if len(cids) >= 8:
+            reps = np.stack([parent.cc[c].rep for c in cids])
+            dists = self._seq_dists_batch(reps, latest_seq)
+            i = int(np.argmin(dists))  # first minimum == smallest cid
+            best_id = cids[i]
+            best_child = parent.cc[best_id]
+            min_distance = float(dists[i])
+        else:
+            best_id = -1
+            best_child = None
+            min_distance = math.inf
+            for cid in cids:
+                child = parent.cc[cid]
+                d = self.euclidean_distance(child.rep, latest_seq)
+                if d < min_distance:
+                    min_distance = d
+                    best_child = child
+                    best_id = cid
         ratio = 0.0 if max_distance == 0.0 else min_distance / max_distance
 
         if best_child is not None and ratio <= self.mtr:
             best_child.si.append(latest_start)
-            self._record((_J_SI, best_child))
+            self._record((_J_SI, best_child, None))
             old_rep = best_child.rep
             best_child.rep = self._average_windows(best_child.si, new_length)
-            self._record((_J_AS, best_child, old_rep))
+            self._record((_J_AS, best_child, old_rep, None))
             self._add_updated(self.updated_qty, new_length, best_id)
             if self.calc_dist_on_add:
                 self._add_updated(self.updated_dist, new_length, best_id)
@@ -418,10 +477,23 @@ class ClusterManager:
     ) -> None:
         valid_group: list[int] = []
         invalid_group: list[int] = []
-        for s in valid_si:
-            d = self.euclidean_distance(self._window(s, new_length), latest_seq)
-            ratio = 0.0 if max_distance == 0.0 else d / max_distance
-            (valid_group if ratio <= self.mtr else invalid_group).append(s)
+        if len(valid_si) >= 8:
+            idx = np.asarray(valid_si, dtype=np.int64)[:, None] + np.arange(
+                new_length, dtype=np.int64
+            )
+            wins = self._buf[idx]
+            dists = self._seq_dists_batch(wins, latest_seq)
+            if max_distance == 0.0:
+                ok = np.ones(len(valid_si), dtype=bool)
+            else:
+                ok = (dists / max_distance) <= self.mtr
+            for s, good in zip(valid_si, ok):
+                (valid_group if good else invalid_group).append(s)
+        else:
+            for s in valid_si:
+                d = self.euclidean_distance(self._window(s, new_length), latest_seq)
+                ratio = 0.0 if max_distance == 0.0 else d / max_distance
+                (valid_group if ratio <= self.mtr else invalid_group).append(s)
 
         if valid_group:
             starts = valid_group + [latest_start]
@@ -447,6 +519,23 @@ class ClusterManager:
             self._add_updated(self.updated_dist, new_length, cid)
             self.cluster_id_counter += 1
 
+    def _root_add(self, cid: int, node: ClusterNode) -> None:
+        row = len(self._root_ids)
+        self._root_ids.append(cid)
+        self._root_row[cid] = row
+        if row == self._root_reps.shape[0]:
+            grown = np.zeros(
+                (row * 2, self._root_reps.shape[1]), dtype=np.float64
+            )
+            grown[:row] = self._root_reps
+            self._root_reps = grown
+        if node.rep is None:
+            self._root_empty.add(cid)
+        else:
+            self._root_reps[row] = node.rep
+        if node.si:
+            self._start_to_root[node.si[0]] = cid
+
     def _process_roots(self, data_index: int, max_distance: float) -> None:
         latest_start = data_index - 1
         if latest_start < 0:
@@ -454,33 +543,44 @@ class ClusterManager:
         mw = self.min_window_size
         latest_seq = self._window(latest_start, mw)
 
-        best_id = -1
-        best = None
-        min_distance = math.inf
-        for cid in sorted(self.clusters):
-            node = self.clusters[cid]
-            if latest_start in node.si:
-                continue
-            d = self.euclidean_distance(node.rep, latest_seq)
-            if d < min_distance:
-                min_distance = d
-                best = node
-                best_id = cid
+        # vectorized nearest-root scan over the flat rep mirror; bit-equal
+        # per-row arithmetic, argmin first-hit == smaller-id tie-break
+        k = len(self._root_ids)
+        dists = self._seq_dists_batch(self._root_reps[:k], latest_seq)
+        for ecid in self._root_empty:
+            # empty-set representative: every step distance is 1.0
+            dists[self._root_row[ecid]] = math.sqrt(float(mw))
+        owner = self._start_to_root.get(latest_start)
+        if owner is not None:
+            dists[self._root_row[owner]] = math.inf
+        i = int(np.argmin(dists))
+        min_distance = float(dists[i])
+        if math.isinf(min_distance):
+            best = None
+            best_id = -1
+        else:
+            best_id = self._root_ids[i]
+            best = self.clusters[best_id]
         ratio = 0.0 if max_distance == 0.0 else min_distance / max_distance
 
         if best is not None and ratio <= self.mtr:
             best.si.append(latest_start)
-            self._record((_J_SI, best))
+            self._record((_J_SI, best, best_id))
+            self._start_to_root[latest_start] = best_id
             old_rep = best.rep
             best.rep = self._average_windows(best.si, mw)
-            self._record((_J_AS, best, old_rep))
+            self._root_reps[self._root_row[best_id]] = best.rep
+            self._root_empty.discard(best_id)
+            self._record((_J_AS, best, old_rep, best_id))
             self._add_updated(self.updated_qty, mw, best_id)
             if self.calc_dist_on_add:
                 self._add_updated(self.updated_dist, mw, best_id)
             self.tasks.append(([best_id], mw))
         else:
             cid = self.cluster_id_counter
-            self.clusters[cid] = ClusterNode([latest_start], latest_seq.copy())
+            node = ClusterNode([latest_start], latest_seq.copy())
+            self.clusters[cid] = node
+            self._root_add(cid, node)
             self._record((_J_ROOT, cid))
             self._add_updated(self.updated_dist, mw, cid)
             self.cluster_id_counter += 1

@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling-efficiency experiment).
+
+Default mode (what the per-round driver runs):
+  python bench.py
+    * runs the headline north-rule pipeline — deterministic synthetic
+      tokens corpus -> ingest -> tier-0/1/2 rollup + gap-fill — on
+      local[$SPARK_GRAFT_CPUS], reporting rolled-up points/sec;
+    * times each headline query from __spark_entry__.queries() at
+      $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
+    * prints ONE JSON line:
+      {"metric": ..., "value": total_sec, "unit": "sec",
+       "queries": {name: sec, ...}, "sf": ...,
+       "rollup_points": N, "rollup_sec": s, "rollup_points_per_sec": r}
+
+Scaling mode (the sandbox substitution for the north rule's N vs 4N
+executor criterion — no real cluster here):
+  python bench.py --scaling
+    re-execs the pipeline-only bench in two subprocess JVMs at local[8]
+    and local[32] over the *identical* deterministic input
+    (synth_tokens_distributed is parallelism-invariant), and reports
+    throughput at both plus efficiency = (pps32/pps8)/(32/8).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR     query-bench data dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       local[] core count      (default 32)
+  TSC_BENCH_DOCS         synthetic corpus docs   (default 60000, ~3.3M points)
+  TSC_BENCH_QUERIES      comma list to restrict query bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+BENCH_DOCS_DEFAULT = 60_000
+
+# headline queries benched per round (a representative slice of
+# __spark_entry__.queries(); full correctness runs via check_entry.py)
+BENCH_QUERY_NAMES = [
+    "series_stats",
+    "rollup_tier1",
+    "rollup_tier2",
+    "rollup_gapfill",
+    "topk_longest",
+    "source_counts",
+    "token_stats",
+    "quality_scores",
+    "fingerprint",
+    "exact_dups",
+    "minhash_signatures",
+    "simhash",
+    "cosine_topk",
+    "sessionize",
+    "collapse_max",
+    "pricing_summary",
+    "top_customers",
+    "window_matches",
+    "codec_roundtrip",
+    "cluster_timeline",
+    "query_matches",
+    "lsh_dedup_pairs",
+]
+
+
+def _force(df) -> int:
+    """Fully execute a DataFrame without driver materialization."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_pipeline_bench(spark, n_docs: int) -> dict:
+    """North-rule headline: ingest -> tier-0/1/2 rollup+gapfill points/sec.
+
+    Input generation is excluded from the timed region (the corpus is
+    written to parquet first = the at-rest Iceberg-style table); the
+    timed region is scan -> explode -> 3-tier rollup -> gap-fill ->
+    sink, i.e. everything the north rule calls 'ingest -> tier-2'.
+    """
+    from pyspark.sql import functions as F
+
+    from tsc_spark.operators.rollup import tiered_rollups
+    from tsc_spark.sources.synth import synth_tokens_distributed
+
+    workdir = tempfile.mkdtemp(prefix="tsc_bench_")
+    try:
+        corpus = os.path.join(workdir, "tokens")
+        synth_tokens_distributed(spark, n_docs).write.mode("overwrite").parquet(corpus)
+
+        toks = spark.read.parquet(corpus)
+        n_points = toks.agg(F.sum("n_tok")).collect()[0][0]
+
+        t0 = time.perf_counter()
+        tiers = tiered_rollups(toks, with_gapfill=True)
+        for tier in (0, 1, 2):
+            _force(tiers[tier])
+        elapsed = time.perf_counter() - t0
+        return {
+            "rollup_docs": n_docs,
+            "rollup_points": int(n_points),
+            "rollup_sec": round(elapsed, 3),
+            "rollup_points_per_sec": round(n_points / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def run_query_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            _force(fn(spark, sf_dir))
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep the bench alive; flag the failure
+            out[name] = -1.0
+            print(f"# bench query {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    return out
+
+
+def _spark(cpus: str):
+    from tsc_spark.session import get_spark
+
+    return get_spark("bench", master=f"local[{cpus}]",
+                     shuffle_partitions=max(int(cpus), 8))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run pipeline at local[8] and local[32]; report efficiency")
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--docs", type=int,
+                    default=int(os.environ.get("TSC_BENCH_DOCS", BENCH_DOCS_DEFAULT)))
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cpus in ("8", "32"):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--pipeline-only", "--cpus", cpus, "--docs", str(args.docs)],
+                capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        pps8 = results["8"]["rollup_points_per_sec"]
+        pps32 = results["32"]["rollup_points_per_sec"]
+        eff = (pps32 / pps8) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling_efficiency_local8_to_local32",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "points_per_sec": {"local8": pps8, "local32": pps32},
+            "rollup_points": results["32"]["rollup_points"],
+            "docs": args.docs,
+        }))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = _spark(args.cpus)
+    try:
+        pipe = run_pipeline_bench(spark, args.docs)
+        if args.pipeline_only:
+            print(json.dumps({"metric": "rollup_points_per_sec",
+                              "value": pipe["rollup_sec"], "unit": "sec", **pipe}))
+            return
+        only = os.environ.get("TSC_BENCH_QUERIES")
+        names = only.split(",") if only else BENCH_QUERY_NAMES
+        queries = run_query_bench(spark, sf_dir, names)
+        total = round(sum(v for v in queries.values() if v > 0) + pipe["rollup_sec"], 3)
+        print(json.dumps({
+            "metric": "ingest_to_tier2_rollup_plus_query_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(sf),
+            **pipe,
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

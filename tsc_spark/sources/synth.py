@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["EDGE_DOCS", "synth_tokens", "synth_tokens_table"]
+__all__ = ["EDGE_DOCS", "synth_tokens", "synth_tokens_table", "synth_tokens_distributed"]
 
 # hand-written edge docs (FIXTURES.md §1, with reference citations there)
 EDGE_DOCS: list[tuple[str, list[int], str]] = [
@@ -93,3 +93,56 @@ def synth_tokens_table(spark, n_docs: int = 200, include_edges: bool = True, see
     )
     rows = [(d, t, len(t), s) for d, t, s in synth_tokens(n_docs, include_edges, seed)]
     return spark.createDataFrame(rows, schema)
+
+
+def synth_tokens_distributed(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic tokens table for bench-scale corpora.
+
+    Unlike ``synth_tokens`` (one sequential rng, driver-side), every doc
+    seeds its own rng from ``(seed, i)``, so output is bit-identical at
+    any parallelism / partitioning — the property the scaling-efficiency
+    benchmark depends on (same input at local[8] and local[32]).
+    Generation runs inside ``mapInPandas`` over ``spark.range`` so the
+    corpus never materializes on the driver.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("tokens", ArrayType(IntegerType(), False), False),
+            StructField("n_tok", IntegerType(), False),
+            StructField("source", StringType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, toks, lens, srcs = [], [], [], []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng([seed, i])
+                if i % 64 == 63:
+                    n_tok = 512 + (i % 7) * 256
+                    source = "longtail"
+                else:
+                    n_tok = 8 + (i * 37) % 57
+                    source = _SOURCES[i % 4]
+                arr = _doc_tokens(i, rng, n_tok)
+                ids.append(f"doc{i:08d}")
+                toks.append(arr.astype(np.int32))
+                lens.append(n_tok)
+                srcs.append(source)
+            yield pd.DataFrame(
+                {"doc_id": ids, "tokens": toks, "n_tok": lens, "source": srcs}
+            )
+
+    rng_parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    return spark.range(0, n_docs, numPartitions=rng_parts).mapInPandas(gen, schema)

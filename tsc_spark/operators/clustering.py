@@ -36,7 +36,13 @@ from ..config import (
     HEAVY_DOC_TOKEN_THRESHOLD,
 )
 
-__all__ = ["balance_for_kernel", "cluster_timeline", "cluster_tree", "cluster_timeline_rows"]
+__all__ = [
+    "balance_for_kernel",
+    "auto_balance",
+    "cluster_timeline",
+    "cluster_tree",
+    "cluster_timeline_rows",
+]
 
 TIMELINE_SCHEMA = (
     "doc_id string, window_size int, cluster_id string, indices array<int>"
@@ -58,11 +64,28 @@ def balance_for_kernel(
     spread round-robin so no partition holds two of them.  Equivalent to
     salting the heavy keys (SURVEY §4) while keeping one doc per row.
     """
-    heavy = df.filter(F.col("n_tok") > heavy_threshold).repartition(parallelism)
-    light = df.filter(F.col("n_tok") <= heavy_threshold).repartition(
-        parallelism, "doc_id"
-    )
+    n_tok = F.col("n_tok") if "n_tok" in df.columns else F.size("tokens")
+    heavy = df.filter(n_tok > heavy_threshold).repartition(parallelism)
+    light = df.filter(n_tok <= heavy_threshold).repartition(parallelism, "doc_id")
     return light.unionByName(heavy)
+
+
+def auto_balance(df: DataFrame) -> DataFrame:
+    """Engage kernel balancing only when the scan is under-partitioned.
+
+    Small at-rest tables arrive as one or two splits, serializing the
+    per-doc kernel; a 100 TB scan has splits ≫ cores and must NOT pay a
+    corpus-wide shuffle just to rebalance — so this is a no-op whenever
+    the input already has ≥ defaultParallelism partitions."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    return balance_for_kernel(df, target)
 
 
 def cluster_timeline_rows(
@@ -93,6 +116,8 @@ def cluster_timeline(
 
     if balance_parallelism:
         df = balance_for_kernel(df, balance_parallelism)
+    else:
+        df = auto_balance(df)
 
     src = df.select("doc_id", "tokens")
 
@@ -135,6 +160,8 @@ def cluster_tree(
 
     if balance_parallelism:
         df = balance_for_kernel(df, balance_parallelism)
+    else:
+        df = auto_balance(df)
 
     src = df.select("doc_id", "tokens")
 

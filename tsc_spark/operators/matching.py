@@ -51,11 +51,13 @@ def query_matches(
     semantics ...:2005-2040)."""
     from ..kernel.matching import build_query_seed, match_series
 
+    from .clustering import auto_balance
+
     seed = build_query_seed(query_tokens, merge_threshold, range_min, range_max)
     bc = spark.sparkContext.broadcast(pickle.dumps(seed))
     mmw = int(min_match_window)
 
-    src = tokens_df.select("doc_id", "tokens")
+    src = auto_balance(tokens_df).select("doc_id", "tokens")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seed_bytes = bc.value

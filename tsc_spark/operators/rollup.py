@@ -26,6 +26,7 @@ from ..config import TIER_STRIDES
 __all__ = [
     "explode_points",
     "rollup_points",
+    "rollup_arrays",
     "rollup_from_lower_tier",
     "tiered_rollups",
     "gapfill_locf",
@@ -59,6 +60,68 @@ def rollup_points(points: DataFrame, stride: int, tier: int) -> DataFrame:
             F.min("token").alias("agg_min"),
             F.max("token").alias("agg_max"),
             F.sum("token").alias("agg_sum"),
+        )
+        .withColumn("tier", F.lit(tier))
+    )
+
+
+def rollup_arrays(tokens_df: DataFrame, stride: int, tier: int) -> DataFrame:
+    """Shuffle-free tier rollup straight from the token arrays.
+
+    A doc's points live in ONE row, so tier windows never cross rows and
+    the whole rollup is a narrow per-row transform: slice the array into
+    stride-sized chunks and reduce each chunk with JVM higher-order
+    functions (``slice``/``aggregate``/``array_min``/``array_max``) —
+    no explode, no shuffle, stays inside whole-stage codegen.  Emits
+    rows identical to ``rollup_points(explode_points(df), stride, tier)``
+    (the point-stream path kept for sparse/deleted streams).
+    """
+    src = tokens_df.filter(F.col("n_tok") > 0)
+    if stride == 1:
+        # windows ARE the points: plain posexplode, no slicing at all
+        return src.select(
+            "doc_id", F.posexplode("tokens").alias("window_idx", "token")
+        ).select(
+            "doc_id",
+            F.col("window_idx").cast("long").alias("window_idx"),
+            F.lit(1).cast("long").alias("agg_count"),
+            F.col("token").alias("agg_min"),
+            F.col("token").alias("agg_max"),
+            F.col("token").cast("long").alias("agg_sum"),
+            F.lit(tier).alias("tier"),
+        )
+
+    n_win = F.ceil(F.col("n_tok") / F.lit(stride)).cast("int")
+    # two-level transform so each chunk's slice is evaluated ONCE and the
+    # four reducers read the bound lambda variable, not four re-slices
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda w: F.struct(
+            w.cast("long").alias("wi"),
+            F.slice(F.col("tokens"), w * stride + 1, stride).alias("c"),
+        ),
+    )
+    wins = F.transform(
+        chunks,
+        lambda s: F.struct(
+            s["wi"].alias("window_idx"),
+            F.size(s["c"]).cast("long").alias("agg_count"),
+            F.array_min(s["c"]).alias("agg_min"),
+            F.array_max(s["c"]).alias("agg_max"),
+            F.aggregate(
+                s["c"], F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("agg_sum"),
+        ),
+    )
+    return (
+        src.select("doc_id", F.explode(wins).alias("w"))
+        .select(
+            "doc_id",
+            "w.window_idx",
+            "w.agg_count",
+            "w.agg_min",
+            "w.agg_max",
+            "w.agg_sum",
         )
         .withColumn("tier", F.lit(tier))
     )
@@ -144,21 +207,37 @@ def gapfill_locf(filled: DataFrame) -> DataFrame:
     )
 
 
+def _gapfill_dense(rollup: DataFrame) -> DataFrame:
+    """Gap-fill for the dense array path: token position IS the window
+    index, so the expected grid equals the actual windows and the join
+    degenerates to a literal column (zero-cost, same output schema as
+    ``gapfill``)."""
+    return rollup.select(
+        "doc_id",
+        "tier",
+        "window_idx",
+        "agg_count",
+        "agg_min",
+        "agg_max",
+        "agg_sum",
+        F.lit(False).alias("gapfilled"),
+    )
+
+
 def tiered_rollups(tokens_df: DataFrame, with_gapfill: bool = True) -> dict[int, DataFrame]:
     """Full tier-0/1/2 rollup set from a tokens table.
 
-    tier-0 = stride 1 (raw points as windows), tier-1 = 8×, tier-2 = 64×
-    (composed from tier-1).  Returns {tier: DataFrame}."""
-    points = explode_points(tokens_df)
-    t0 = rollup_points(points, TIER_STRIDES[0], 0)
-    t1 = rollup_points(points, TIER_STRIDES[1], 1)
-    t2 = rollup_from_lower_tier(t1, TIER_STRIDES[2] // TIER_STRIDES[1], 2)
-    out = {0: t0, 1: t1, 2: t2}
+    tier-0 = stride 1 (raw points as windows), tier-1 = 8×, tier-2 = 64×.
+    All three tiers come from the shuffle-free array path
+    (``rollup_arrays``); dense arrays cannot have gaps, so gap-fill is
+    the zero-cost dense variant.  Sparse point streams (deletes,
+    retention-expired ranges) use ``rollup_points`` + ``gapfill``
+    instead.  Returns {tier: DataFrame}."""
+    out = {
+        tier: rollup_arrays(tokens_df, TIER_STRIDES[tier], tier) for tier in (0, 1, 2)
+    }
     if with_gapfill:
-        out = {
-            tier: gapfill(df, tokens_df, TIER_STRIDES[tier], tier)
-            for tier, df in out.items()
-        }
+        out = {tier: _gapfill_dense(df) for tier, df in out.items()}
     return out
 
 

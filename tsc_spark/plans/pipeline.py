@@ -24,10 +24,10 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_MERGE_THRESHOLD_RATIO, TIER_STRIDES
+from ..config import DEFAULT_MERGE_THRESHOLD_RATIO
 from ..functions.codec_udfs import encode_tokens_table
 from ..operators.clustering import cluster_timeline
-from ..operators.rollup import gapfill, rollup_from_lower_tier, rollup_points, explode_points
+from ..operators.rollup import tiered_rollups
 
 __all__ = ["ingest", "run_pipeline", "read_tier", "pipeline_metrics"]
 
@@ -88,18 +88,9 @@ def _process_bucket(
 
     watermarks: dict[str, int] = {}
 
-    points = explode_points(df)
-    t1 = rollup_points(points, TIER_STRIDES[1], 1)
-    tiers = {
-        0: gapfill(rollup_points(points, TIER_STRIDES[0], 0), df, TIER_STRIDES[0], 0),
-        1: gapfill(t1, df, TIER_STRIDES[1], 1),
-        2: gapfill(
-            rollup_from_lower_tier(t1, TIER_STRIDES[2] // TIER_STRIDES[1], 2),
-            df,
-            TIER_STRIDES[2],
-            2,
-        ),
-    }
+    # shuffle-free array-path rollup: windows never cross rows, so every
+    # tier is a narrow per-row transform (see operators.rollup.rollup_arrays)
+    tiers = tiered_rollups(df, with_gapfill=True)
     for tier, tdf in tiers.items():
         path = os.path.join(base_dir, "rollup", f"tier={tier}", f"bucket={bucket}")
         tdf.write.mode("overwrite").parquet(path)

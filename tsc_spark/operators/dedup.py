@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import ensure_min_partitions
+
 __all__ = [
     "exact_dup_groups",
     "shingles",
@@ -60,7 +62,8 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        ensure_min_partitions(docs)
+        .select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -147,7 +150,7 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over word features: sign-aggregated bit votes.
 
     bit_j(doc) = 1 iff Σ_words (hash_bit_j(word) ? +1 : -1) > 0."""
-    words = docs.select(
+    words = ensure_min_partitions(docs).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
     h = _h32(F.col("word"), 99)

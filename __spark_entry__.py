@@ -629,6 +629,66 @@ SQL_CODEC_ROUNDTRIP = f"""WITH {SQL_TOKENS}
 SELECT doc_id, n_tok, TRUE AS roundtrip_ok FROM tokens"""
 
 
+def q_media_stats(spark, sf_dir):
+    from tsc_spark.operators.multimodal import media_from_documents, media_stats
+
+    return media_stats(media_from_documents(_docs(spark, sf_dir))).select(
+        "kind",
+        F.col("n_media").cast("long").alias("n_media"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        F.col("max_width").cast("long").alias("max_width"),
+        F.col("max_height").cast("long").alias("max_height"),
+        F.col("total_duration_ms").cast("long").alias("total_duration_ms"),
+    )
+
+
+SQL_MEDIA = """
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + (doc_id % 8) * 32 END AS width,
+         CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + (doc_id % 4) * 32 END AS height,
+         CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1000 * (1 + doc_id % 30) END AS duration_ms,
+         octet_length(encode(text)) AS payload_bytes
+  FROM documents
+)
+SELECT kind, COUNT(*) AS n_media, SUM(payload_bytes) AS total_bytes,
+       MAX(width) AS max_width, MAX(height) AS max_height,
+       SUM(duration_ms) AS total_duration_ms
+FROM media GROUP BY kind"""
+
+
+def q_video_frames(spark, sf_dir):
+    from tsc_spark.operators.multimodal import media_from_documents, sample_video_frames
+
+    return sample_video_frames(media_from_documents(_docs(spark, sf_dir)), every_ms=5000).select(
+        "doc_id", "media_id", F.col("frame_ms").cast("long").alias("frame_ms")
+    )
+
+
+SQL_VIDEO_FRAMES = """
+WITH vids AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media_' || CAST(doc_id AS VARCHAR) AS media_id,
+         1000 * (1 + doc_id % 30) AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, media_id, CAST(f AS BIGINT) AS frame_ms
+FROM vids, unnest(generate_series(0, greatest(duration_ms - 1, 0), 5000)) AS t(f)"""
+
+
+def q_image_features(spark, sf_dir):
+    from tsc_spark.operators.multimodal import (
+        extract_image_features,
+        fake_image_decode,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return extract_image_features(media, decode_fn=fake_image_decode)
+
+
 # --- kernel queries (not SQL-expressible; rows-only driver check; exact
 # equality enforced by tests/test_spark_clustering.py goldens) ---
 def q_cluster_timeline(spark, sf_dir):
@@ -735,6 +795,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_weights": q_recency_weights,
         "window_matches": q_window_matches,
         "codec_roundtrip": q_codec_roundtrip,
+        "media_stats": q_media_stats,
+        "video_frames": q_video_frames,
+        "image_features": q_image_features,
         # kernel queries — rows-only checks (non-SQL-expressible)
         "cluster_timeline": q_cluster_timeline,
         "cluster_tree": q_cluster_tree,
@@ -774,4 +837,6 @@ def oracle_sql() -> dict[str, str]:
         "recency_weights": SQL_RECENCY,
         "window_matches": SQL_WINDOW_MATCHES,
         "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
+        "media_stats": SQL_MEDIA,
+        "video_frames": SQL_VIDEO_FRAMES,
     }

@@ -144,7 +144,9 @@ def _spark(cpus: str):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
-                    help="run pipeline at local[8] and local[32]; report efficiency")
+                    help="run pipeline at local[N] and local[4N]; report efficiency")
+    ap.add_argument("--scale-base", type=int, default=8,
+                    help="N for the N vs 4N comparison (default 8)")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--docs", type=int,
@@ -152,8 +154,9 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
+        lo, hi = str(args.scale_base), str(args.scale_base * 4)
         results = {}
-        for cpus in ("8", "32"):
+        for cpus in (lo, hi):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--pipeline-only", "--cpus", cpus, "--docs", str(args.docs)],
@@ -161,15 +164,15 @@ def main() -> None:
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             results[cpus] = json.loads(line)
-        pps8 = results["8"]["rollup_points_per_sec"]
-        pps32 = results["32"]["rollup_points_per_sec"]
-        eff = (pps32 / pps8) / (32 / 8)
+        pps_lo = results[lo]["rollup_points_per_sec"]
+        pps_hi = results[hi]["rollup_points_per_sec"]
+        eff = (pps_hi / pps_lo) / 4
         print(json.dumps({
-            "metric": "scaling_efficiency_local8_to_local32",
+            "metric": f"scaling_efficiency_local{lo}_to_local{hi}",
             "value": round(eff, 3),
             "unit": "ratio",
-            "points_per_sec": {"local8": pps8, "local32": pps32},
-            "rollup_points": results["32"]["rollup_points"],
+            "points_per_sec": {f"local{lo}": pps_lo, f"local{hi}": pps_hi},
+            "rollup_points": results[hi]["rollup_points"],
             "docs": args.docs,
         }))
         return

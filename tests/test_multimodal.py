@@ -1,0 +1,72 @@
+"""Multimodal column plumbing: schema, mapInPandas batching, stub gate."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    from tsc_spark.operators.multimodal import synth_media_table
+
+    df = synth_media_table(spark, n_docs=30, per_doc=2)
+    df.cache().count()
+    return df
+
+
+def test_media_schema_and_counts(media_df):
+    assert dict(media_df.dtypes)["payload"] == "binary"
+    assert media_df.count() == 60
+    kinds = {r["kind"] for r in media_df.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_media_stats_never_reads_payload_content(media_df):
+    from tsc_spark.operators.multimodal import media_stats
+
+    rows = {r["kind"]: r for r in media_stats(media_df).collect()}
+    assert rows["image"]["n_media"] == 20
+    assert rows["image"]["total_bytes"] > 0
+    assert rows["audio"]["max_width"] == 0
+    assert rows["video"]["total_duration_ms"] > 0
+
+
+def test_extract_features_requires_explicit_decoder(media_df):
+    from pyspark.errors.exceptions.captured import PythonException
+    from tsc_spark.operators.multimodal import extract_image_features
+
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        extract_image_features(media_df).collect()
+
+
+def test_extract_features_deterministic_fake(media_df):
+    from tsc_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_image_features,
+        fake_image_decode,
+    )
+
+    out = extract_image_features(media_df, decode_fn=fake_image_decode)
+    rows = out.orderBy("media_id").collect()
+    assert len(rows) == 20  # image rows only
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    # deterministic across runs and equal to a driver-side recomputation
+    r0 = rows[0]
+    src = media_df.filter(F.col("media_id") == r0["media_id"]).collect()[0]
+    img = fake_image_decode(bytes(src["payload"]), src["width"], src["height"])
+    assert r0["features"][0] == pytest.approx(float(img.mean()))
+    assert r0["features"][3] == float(img.max())
+
+
+def test_video_frame_sampling_is_metadata_only(media_df):
+    from tsc_spark.operators.multimodal import sample_video_frames
+
+    frames = sample_video_frames(media_df, every_ms=5000)
+    pdf = frames.toPandas()
+    assert (pdf["frame_ms"] % 5000 == 0).all()
+    # every video row emits >= 1 frame (ts 0 always sampled)
+    n_videos = media_df.filter(F.col("kind") == "video").count()
+    assert pdf["media_id"].nunique() == n_videos
+    # plan stays native: no python UDF / mapInPandas in frame selection
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan

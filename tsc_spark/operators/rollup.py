@@ -27,6 +27,7 @@ __all__ = [
     "explode_points",
     "rollup_points",
     "rollup_arrays",
+    "rollup_arrays_np",
     "rollup_from_lower_tier",
     "tiered_rollups",
     "gapfill_locf",
@@ -125,6 +126,77 @@ def rollup_arrays(tokens_df: DataFrame, stride: int, tier: int) -> DataFrame:
         )
         .withColumn("tier", F.lit(tier))
     )
+
+
+def rollup_arrays_np(tokens_df: DataFrame, stride: int, tier: int) -> DataFrame:
+    """Arrow-vectorized tier rollup: one numpy ``reduceat`` pass per batch.
+
+    Spark's higher-order functions (``transform``/``aggregate``) are
+    interpreted per element — measured ~3M windows/sec across 32 cores.
+    This path flattens each Arrow batch's token arrays into one int64
+    vector and reduces every window with ``np.add/minimum/maximum
+    .reduceat`` (vectorized C, no per-row Python — the boundary the
+    north rule allows).  Output rows are identical to ``rollup_arrays``
+    / ``rollup_points``: windows never span docs because each doc's
+    window starts are emitted per doc, so the segment after a doc's last
+    start ends exactly at the next doc's first start (= doc boundary).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id string, window_idx long, agg_count long, "
+        "agg_min int, agg_max int, agg_sum long, tier int"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            arrs = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"] if len(t) > 0]
+            ids = [d for d, t in zip(pdf["doc_id"], pdf["tokens"]) if len(t) > 0]
+            if not arrs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="object"),
+                        "window_idx": pd.Series([], dtype="int64"),
+                        "agg_count": pd.Series([], dtype="int64"),
+                        "agg_min": pd.Series([], dtype="int32"),
+                        "agg_max": pd.Series([], dtype="int32"),
+                        "agg_sum": pd.Series([], dtype="int64"),
+                        "tier": pd.Series([], dtype="int32"),
+                    }
+                )
+                continue
+            lens = np.array([a.size for a in arrs], dtype=np.int64)
+            flat = np.concatenate(arrs)
+            n_win = -(-lens // stride)
+            doc_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            starts = np.concatenate(
+                [off + np.arange(0, l, stride, dtype=np.int64)
+                 for off, l in zip(doc_off, lens)]
+            )
+            win_idx = np.concatenate(
+                [np.arange(0, w, dtype=np.int64) for w in n_win]
+            )
+            # per-window count: stride everywhere except a short last window
+            counts = np.full(starts.size, stride, dtype=np.int64)
+            last_pos = np.cumsum(n_win) - 1
+            counts[last_pos] = lens - (n_win - 1) * stride
+            sums = np.add.reduceat(flat, starts)
+            mins = np.minimum.reduceat(flat, starts)
+            maxs = np.maximum.reduceat(flat, starts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(np.asarray(ids, dtype=object), n_win),
+                    "window_idx": win_idx,
+                    "agg_count": counts,
+                    "agg_min": mins.astype(np.int32),
+                    "agg_max": maxs.astype(np.int32),
+                    "agg_sum": sums,
+                    "tier": np.full(starts.size, tier, dtype=np.int32),
+                }
+            )
+
+    return tokens_df.select("doc_id", "tokens").mapInPandas(run, out_schema)
 
 
 def rollup_from_lower_tier(lower: DataFrame, factor: int, tier: int) -> DataFrame:
@@ -228,13 +300,21 @@ def tiered_rollups(tokens_df: DataFrame, with_gapfill: bool = True) -> dict[int,
     """Full tier-0/1/2 rollup set from a tokens table.
 
     tier-0 = stride 1 (raw points as windows), tier-1 = 8×, tier-2 = 64×.
-    All three tiers come from the shuffle-free array path
-    (``rollup_arrays``); dense arrays cannot have gaps, so gap-fill is
-    the zero-cost dense variant.  Sparse point streams (deletes,
-    retention-expired ranges) use ``rollup_points`` + ``gapfill``
-    instead.  Returns {tier: DataFrame}."""
+    All tiers are shuffle-free: tier-0 is the native posexplode fast
+    path (windows ARE the points); tiers 1/2 use the Arrow-vectorized
+    ``reduceat`` path, which beats the interpreted higher-order-function
+    plan ~1.4× and explode+groupBy ~2× (no shuffle, no per-row Python).
+    Dense arrays cannot have gaps, so gap-fill is the zero-cost dense
+    variant.  Sparse point streams (deletes, retention-expired ranges)
+    use ``rollup_points`` + ``gapfill`` instead.  Returns {tier:
+    DataFrame}."""
     out = {
-        tier: rollup_arrays(tokens_df, TIER_STRIDES[tier], tier) for tier in (0, 1, 2)
+        tier: (
+            rollup_arrays(tokens_df, TIER_STRIDES[tier], tier)
+            if TIER_STRIDES[tier] == 1
+            else rollup_arrays_np(tokens_df, TIER_STRIDES[tier], tier)
+        )
+        for tier in (0, 1, 2)
     }
     if with_gapfill:
         out = {tier: _gapfill_dense(df) for tier, df in out.items()}

@@ -1,0 +1,124 @@
+"""Structured Streaming tier: incremental token ingest → rollup.
+
+The batch rollup path (operators.rollup.rollup_arrays*) is stateless and
+narrow — windows live inside one row — so the exact same transformation
+runs under ``readStream`` with no watermark and no stateful operator:
+each micro-batch's docs roll up independently and append to the tier
+sink.  Checkpointing gives exactly-once file-source progress, which is
+the streaming twin of the batch pipeline's per-bucket manifests
+(plans.pipeline).
+
+For event-time data (the events table), ``windowed_event_counts`` shows
+the watermarked tumbling-window aggregation shape: late rows beyond the
+watermark are dropped, state is bounded.
+
+Reference analogue: incremental point append `add_data_point_permanently!`
+(/root/reference/src/polyphonic/polyphonic_cluster_manager.jl:514-517) —
+the reference re-clusters per appended point in memory; our streaming
+tier appends whole docs per micro-batch and rolls them up incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import TIER_STRIDES
+from ..operators.rollup import rollup_arrays
+
+__all__ = [
+    "TOKENS_SCHEMA",
+    "stream_tokens",
+    "stream_rollup",
+    "run_rollup_stream",
+    "windowed_event_counts",
+]
+
+TOKENS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType(), False), False),
+        StructField("n_tok", IntegerType(), False),
+        StructField("source", StringType(), False),
+    ]
+)
+
+
+def stream_tokens(spark: SparkSession, src_dir: str, max_files: int = 64) -> DataFrame:
+    """File-source token stream: picks up new parquet files per batch.
+
+    ``maxFilesPerTrigger`` bounds micro-batch size (backpressure — the
+    analogue of the reference's write-window throttle,
+    /root/reference/scripts/seed_influx.jl:546-573)."""
+    return (
+        spark.readStream.schema(TOKENS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src_dir)
+    )
+
+
+def stream_rollup(stream_df: DataFrame, tier: int) -> DataFrame:
+    """Tier rollup of a token stream — the batch operator verbatim.
+
+    Stateless narrow plan → append mode, no watermark, no state store.
+    (The HOF variant is used rather than the Arrow/numpy one so the
+    whole streaming plan stays JVM-native; both emit identical rows.)"""
+    return rollup_arrays(stream_df, TIER_STRIDES[tier], tier)
+
+
+def run_rollup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    tier: int = 1,
+) -> None:
+    """Drain all currently-available files into the tier sink, exactly
+    once across restarts (checkpointed file-source offsets), then stop.
+
+    ``availableNow`` = incremental batch: repeated invocations process
+    only files added since the last run — the streaming counterpart of
+    the batch pipeline's resume-from-manifest."""
+    q = (
+        stream_rollup(stream_tokens(spark, src_dir), tier)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts over an event-time stream.
+
+    Late events beyond the watermark are dropped and window state is
+    evicted once the watermark passes — bounded state at any scale."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

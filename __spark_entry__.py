@@ -608,6 +608,29 @@ WHERE NOT EXISTS (
 )"""
 
 
+def q_octave_matches(spark, sf_dir):
+    from tsc_spark.operators.matching import octave_invariant_matches
+
+    return octave_invariant_matches(_tokens(spark, sf_dir), window_size=4).select(
+        "doc_id",
+        F.col("q_start").cast("long").alias("q_start"),
+        F.col("db_start").cast("long").alias("db_start"),
+        F.col("window_size").cast("long").alias("window_size"),
+    )
+
+
+SQL_OCTAVE_MATCHES = f"""WITH {SQL_TOKENS},
+sh AS (
+  SELECT doc_id, i AS pos,
+         {" || '_' || ".join(f"CAST(((tokens[i+{j}] % 12) + 12) % 12 AS VARCHAR)" for j in range(1, 5))} AS key
+  FROM tokens, unnest(generate_series(0, n_tok-4)) AS t(i)
+  WHERE n_tok >= 4
+)
+SELECT a.doc_id, CAST(a.pos AS BIGINT) AS q_start, CAST(b.pos AS BIGINT) AS db_start,
+       CAST(4 AS BIGINT) AS window_size
+FROM sh a JOIN sh b ON a.doc_id = b.doc_id AND a.key = b.key AND a.pos < b.pos"""
+
+
 def q_codec_roundtrip(spark, sf_dir):
     """Delta-of-delta+varint codec round-trip over the derived corpus.
 
@@ -794,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "octave_normalize": q_octave_normalize,
         "recency_weights": q_recency_weights,
         "window_matches": q_window_matches,
+        "octave_matches": q_octave_matches,
         "codec_roundtrip": q_codec_roundtrip,
         "media_stats": q_media_stats,
         "video_frames": q_video_frames,
@@ -836,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "octave_normalize": SQL_OCTAVE,
         "recency_weights": SQL_RECENCY,
         "window_matches": SQL_WINDOW_MATCHES,
+        "octave_matches": SQL_OCTAVE_MATCHES,
         "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
         "media_stats": SQL_MEDIA,
         "video_frames": SQL_VIDEO_FRAMES,

@@ -31,6 +31,7 @@ __all__ = [
     "query_matches",
     "match_scores",
     "exact_window_matches",
+    "octave_invariant_matches",
     "filter_contained_relational",
 ]
 
@@ -146,6 +147,43 @@ def exact_window_matches(tokens_df: DataFrame, window_sizes=(3, 4)) -> DataFrame
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def octave_invariant_matches(tokens_df: DataFrame, window_size: int = 4) -> DataFrame:
+    """Within-doc window matches under octave equivalence.
+
+    The reference's octave-invariant matcher normalizes each note into
+    the C4 octave before comparing windows (controller:335-397 with
+    _find_octave_invariant_note_vol_matches ...:399-427) — i.e. two
+    windows match iff they are pointwise equal mod 12.  Relationally
+    that's an equi-join on the mod-12 window key (an inverted index),
+    never the reference's positional triple loop."""
+    words = F.col("tokens")
+    win = F.when(
+        F.size(words) >= window_size,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - window_size),
+            lambda i: F.concat_ws(
+                "_",
+                F.transform(
+                    F.slice(words, i + 1, window_size),
+                    lambda x: F.pmod(x, F.lit(12)).cast("int"),
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = tokens_df.select("doc_id", F.posexplode(win).alias("pos", "key"))
+    return (
+        sh.alias("a")
+        .join(sh.alias("b"), ["doc_id", "key"])
+        .filter(F.col("a.pos") < F.col("b.pos"))
+        .select(
+            "doc_id",
+            F.col("a.pos").alias("q_start"),
+            F.col("b.pos").alias("db_start"),
+            F.lit(window_size).alias("window_size"),
+        )
+    )
 
 
 def filter_contained_relational(matches: DataFrame) -> DataFrame:

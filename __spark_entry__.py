@@ -652,6 +652,32 @@ SQL_CODEC_ROUNDTRIP = f"""WITH {SQL_TOKENS}
 SELECT doc_id, n_tok, TRUE AS roundtrip_ok FROM tokens"""
 
 
+def q_adjacent_roughness(spark, sf_dir):
+    from tsc_spark.functions.roughness import adjacent_roughness
+
+    return adjacent_roughness(_tokens(spark, sf_dir))
+
+
+SQL_ROUGHNESS = f"""WITH {SQL_TOKENS},
+freqs AS (
+  SELECT doc_id, n_tok,
+         list_transform(tokens,
+                        t -> 440.0 * pow(2.0, (CAST(t AS DOUBLE) + 48 - 69) / 12.0)) AS f
+  FROM tokens
+)
+SELECT doc_id,
+       round(CASE WHEN n_tok >= 2 THEN (
+         SELECT COALESCE(SUM(
+           exp(-3.5 * (0.24 / (0.0207 * least(f[i], f[i+1]) + 18.96))
+                    * (greatest(f[i], f[i+1]) - least(f[i], f[i+1])))
+           - exp(-5.75 * (0.24 / (0.0207 * least(f[i], f[i+1]) + 18.96))
+                      * (greatest(f[i], f[i+1]) - least(f[i], f[i+1])))), 0.0)
+         FROM unnest(generate_series(1, n_tok - 1)) AS t(i)
+       ) ELSE 0.0 END, 6) AS roughness,
+       n_tok AS n_pairs_plus_one
+FROM freqs"""
+
+
 def q_media_stats(spark, sf_dir):
     from tsc_spark.operators.multimodal import media_from_documents, media_stats
 
@@ -822,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": q_media_stats,
         "video_frames": q_video_frames,
         "image_features": q_image_features,
+        "adjacent_roughness": q_adjacent_roughness,
         # kernel queries — rows-only checks (non-SQL-expressible)
         "cluster_timeline": q_cluster_timeline,
         "cluster_tree": q_cluster_tree,
@@ -864,4 +891,5 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
         "media_stats": SQL_MEDIA,
         "video_frames": SQL_VIDEO_FRAMES,
+        "adjacent_roughness": SQL_ROUGHNESS,
     }

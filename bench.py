@@ -94,7 +94,12 @@ def run_pipeline_bench(spark, n_docs: int) -> dict:
     workdir = tempfile.mkdtemp(prefix="tsc_bench_")
     try:
         corpus = os.path.join(workdir, "tokens")
-        synth_tokens_distributed(spark, n_docs).write.mode("overwrite").parquet(corpus)
+        # 4 waves of tasks per core: fine-grained scheduling absorbs
+        # stragglers (a single-wave scan leaves cores idle at the tail)
+        parts = 4 * spark.sparkContext.defaultParallelism
+        synth_tokens_distributed(spark, n_docs, partitions=parts).write.mode(
+            "overwrite"
+        ).parquet(corpus)
 
         toks = spark.read.parquet(corpus)
         n_points = toks.agg(F.sum("n_tok")).collect()[0][0]

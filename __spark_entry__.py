@@ -155,6 +155,141 @@ SELECT g.doc_id, g.window_idx,
 FROM grid g LEFT JOIN agg a USING (doc_id, window_idx)"""
 
 
+def q_rollup_locf(spark, sf_dir):
+    """Sparse stream → gap-fill → LOCF carry-forward (tier-1)."""
+    from tsc_spark.operators.rollup import explode_points, gapfill, gapfill_locf, rollup_points
+
+    toks = _tokens(spark, sf_dir)
+    points = explode_points(toks).filter(~F.col("point_index").between(8, 31))
+    filled = gapfill(rollup_points(points, 8, 1), toks, 8, 1)
+    return gapfill_locf(filled).select(
+        "doc_id",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        F.col("agg_count").cast("long").alias("agg_count"),
+        F.col("agg_min").cast("long").alias("agg_min"),
+        F.col("agg_max").cast("long").alias("agg_max"),
+        F.col("agg_sum").cast("long").alias("agg_sum"),
+        "gapfilled",
+    )
+
+
+SQL_ROLLUP_LOCF = f"""WITH {SQL_TOKENS}, {SQL_POINTS},
+sparse AS (SELECT * FROM points WHERE point_index NOT BETWEEN 8 AND 31),
+agg AS (
+  SELECT doc_id, (point_index // 8) AS window_idx,
+         COUNT(token) AS agg_count,
+         CAST(MIN(token) AS BIGINT) AS agg_min,
+         CAST(MAX(token) AS BIGINT) AS agg_max,
+         CAST(SUM(token) AS BIGINT) AS agg_sum
+  FROM sparse GROUP BY 1, 2
+),
+grid AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS window_idx
+  FROM tokens, unnest(generate_series(0, CAST(ceil(n_tok / 8.0) AS BIGINT) - 1)) AS t(w)
+  WHERE n_tok > 0
+),
+filled AS (
+  SELECT g.doc_id, g.window_idx,
+         COALESCE(a.agg_count, 0) AS agg_count,
+         a.agg_min, a.agg_max, a.agg_sum,
+         (a.agg_count IS NULL) AS gapfilled
+  FROM grid g LEFT JOIN agg a USING (doc_id, window_idx)
+)
+SELECT doc_id, window_idx, agg_count,
+       last_value(agg_min IGNORE NULLS) OVER w AS agg_min,
+       last_value(agg_max IGNORE NULLS) OVER w AS agg_max,
+       last_value(agg_sum IGNORE NULLS) OVER w AS agg_sum,
+       gapfilled
+FROM filled
+WINDOW w AS (PARTITION BY doc_id ORDER BY window_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def q_split_phrases(spark, sf_dir):
+    from tsc_spark.operators.sessionize import split_phrases
+
+    return split_phrases(_tokens(spark, sf_dir), jump_threshold=12).select(
+        "doc_id",
+        F.col("phrase_idx").cast("long").alias("phrase_idx"),
+        "phrase",
+        F.col("phrase_len").cast("long").alias("phrase_len"),
+    )
+
+
+SQL_SPLIT_PHRASES = f"""WITH {SQL_TOKENS},
+bounds AS (
+  SELECT doc_id, tokens, n_tok,
+         [0] || list_filter(generate_series(1, n_tok - 1),
+                            i -> abs(tokens[i+1] - tokens[i]) >= 12) AS starts
+  FROM tokens WHERE n_tok > 0
+),
+cut AS (
+  SELECT doc_id, tokens,
+         starts || [n_tok] AS bp,
+         len(starts) AS n_phr
+  FROM bounds
+)
+SELECT doc_id,
+       CAST(p - 1 AS BIGINT) AS phrase_idx,
+       tokens[bp[p]+1 : bp[p+1]] AS phrase,
+       CAST(bp[p+1] - bp[p] AS BIGINT) AS phrase_len
+FROM cut, unnest(generate_series(1, n_phr)) AS t(p)"""
+
+
+def q_contextual_width(spark, sf_dir):
+    from tsc_spark.operators.rollup import contextual_width
+
+    return contextual_width(_tokens(spark, sf_dir))
+
+
+SQL_CONTEXTUAL_WIDTH = f"""WITH {SQL_TOKENS}, {SQL_POINTS},
+m AS (SELECT doc_id, AVG(CAST(token AS DOUBLE)) AS data_mean FROM points GROUP BY 1),
+halves AS (
+  SELECT p.doc_id,
+         AVG(CASE WHEN token <= data_mean THEN CAST(token AS DOUBLE) END) AS lower_half_avg,
+         AVG(CASE WHEN token >= data_mean THEN CAST(token AS DOUBLE) END) AS upper_half_avg
+  FROM points p JOIN m USING (doc_id) GROUP BY 1
+)
+SELECT m.doc_id, round(data_mean, 6) AS data_mean,
+       round(COALESCE(lower_half_avg, 0.0), 6) AS lower_half_avg,
+       round(COALESCE(upper_half_avg, 0.0), 6) AS upper_half_avg,
+       round(CASE WHEN greatest(abs(COALESCE(upper_half_avg,0.0) - COALESCE(lower_half_avg,0.0)), 1.0) <= 0.0
+                  THEN 1.0
+                  ELSE greatest(abs(COALESCE(upper_half_avg,0.0) - COALESCE(lower_half_avg,0.0)), 1.0) END, 6)
+         AS value_width
+FROM m JOIN halves USING (doc_id)"""
+
+
+def q_normalized_scores(spark, sf_dir):
+    from tsc_spark.operators.rollup import normalize_window_scores, tiered_rollups
+
+    t1 = tiered_rollups(_tokens(spark, sf_dir), with_gapfill=False)[1]
+    return normalize_window_scores(t1).select(
+        "doc_id",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        "norm_score",
+        "reliability",
+    )
+
+
+SQL_NORMALIZED_SCORES = f"""WITH {SQL_TOKENS}, {SQL_POINTS},
+agg AS (
+  SELECT doc_id, (point_index // 8) AS window_idx,
+         CAST(SUM(token) AS BIGINT) AS agg_sum
+  FROM points GROUP BY 1, 2
+),
+stats AS (
+  SELECT doc_id, MIN(agg_sum) AS vmin, MAX(agg_sum) AS vmax,
+         COUNT(DISTINCT agg_sum) AS nuniq
+  FROM agg GROUP BY 1
+)
+SELECT a.doc_id, a.window_idx,
+       round(CASE WHEN vmax > vmin
+                  THEN (agg_sum - vmin) * 1.0 / (vmax - vmin) ELSE 0.0 END, 6) AS norm_score,
+       CASE WHEN nuniq <= 1 THEN 0.0 WHEN nuniq = 2 THEN 0.2 ELSE 1.0 END AS reliability
+FROM agg a JOIN stats USING (doc_id)"""
+
+
 def q_topk_longest(spark, sf_dir):
     return (
         _tokens(spark, sf_dir)
@@ -822,6 +957,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_tier1": _rollup_query(1),
         "rollup_tier2": _rollup_query(2),
         "rollup_gapfill": q_rollup_gapfill,
+        "rollup_locf": q_rollup_locf,
+        "split_phrases": q_split_phrases,
+        "contextual_width": q_contextual_width,
+        "normalized_scores": q_normalized_scores,
         "topk_longest": q_topk_longest,
         "filter_isin": q_filter_isin,
         "source_counts": q_source_counts,
@@ -866,6 +1005,10 @@ def oracle_sql() -> dict[str, str]:
         "rollup_tier1": _sql_rollup(8),
         "rollup_tier2": _sql_rollup(64),
         "rollup_gapfill": SQL_ROLLUP_GAPFILL,
+        "rollup_locf": SQL_ROLLUP_LOCF,
+        "split_phrases": SQL_SPLIT_PHRASES,
+        "contextual_width": SQL_CONTEXTUAL_WIDTH,
+        "normalized_scores": SQL_NORMALIZED_SCORES,
         "topk_longest": SQL_TOPK,
         "filter_isin": SQL_FILTER_ISIN,
         "source_counts": SQL_SOURCE_COUNTS,

@@ -31,6 +31,8 @@ __all__ = [
     "rollup_from_lower_tier",
     "tiered_rollups",
     "gapfill_locf",
+    "contextual_width",
+    "normalize_window_scores",
     "series_stats",
 ]
 
@@ -319,6 +321,61 @@ def tiered_rollups(tokens_df: DataFrame, with_gapfill: bool = True) -> dict[int,
     if with_gapfill:
         out = {tier: _gapfill_dense(df) for tier, df in out.items()}
     return out
+
+
+def contextual_width(tokens_df: DataFrame, min_width: float = 1.0) -> DataFrame:
+    """Per-doc contextual value width over the full series.
+
+    Reference update_value_width! (/root/reference/src/polyphonic/
+    polyphonic_cluster_manager.jl:1063-1094): width = |mean(values >=
+    mean) − mean(values <= mean)| clamped below by contextual_min_width;
+    degenerate width becomes 1.0.  All-native: three array reductions
+    per row, no explode/shuffle."""
+    toks = F.transform(F.col("tokens"), lambda t: t.cast("double"))
+    total = F.aggregate(toks, F.lit(0.0), lambda a, x: a + x)
+    mean = F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+    def half_mean(cmp):
+        half = F.filter(toks, cmp)
+        return F.when(
+            F.size(half) > 0,
+            F.aggregate(half, F.lit(0.0), lambda a, x: a + x) / F.size(half),
+        ).otherwise(F.lit(0.0))
+
+    lower = half_mean(lambda x: x <= mean)
+    upper = half_mean(lambda x: x >= mean)
+    delta = F.greatest(F.abs(upper - lower), F.lit(float(min_width)))
+    width = F.when(delta <= 0.0, F.lit(1.0)).otherwise(delta)
+    return tokens_df.select(
+        "doc_id",
+        F.round(mean, 6).alias("data_mean"),
+        F.round(lower, 6).alias("lower_half_avg"),
+        F.round(upper, 6).alias("upper_half_avg"),
+        F.round(width, 6).alias("value_width"),
+    )
+
+
+def normalize_window_scores(rollup_df: DataFrame) -> DataFrame:
+    """Min-max normalize each doc's window sums with the reference's
+    reliability weight (normalize_scores, /root/reference/src/controllers/
+    time_series_controller.jl:2095-2117): weight 0.0 when all values are
+    equal, 0.2 when only two distinct values, 1.0 otherwise."""
+    w = Window.partitionBy("doc_id")
+    vmin = F.min("agg_sum").over(w)
+    vmax = F.max("agg_sum").over(w)
+    nuniq = F.size(F.collect_set("agg_sum").over(w))
+    norm = F.when(vmax > vmin, (F.col("agg_sum") - vmin) / (vmax - vmin)).otherwise(
+        F.lit(0.0)
+    )
+    reliability = (
+        F.when(nuniq <= 1, F.lit(0.0)).when(nuniq == 2, F.lit(0.2)).otherwise(F.lit(1.0))
+    )
+    return rollup_df.select(
+        "doc_id",
+        "window_idx",
+        F.round(norm, 6).alias("norm_score"),
+        reliability.alias("reliability"),
+    )
 
 
 def series_stats(tokens_df: DataFrame) -> DataFrame:

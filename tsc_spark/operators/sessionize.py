@@ -12,7 +12,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "collapse_max_value"]
+__all__ = ["sessionize", "collapse_max_value", "split_phrases"]
+
+
+def split_phrases(tokens_df: DataFrame, jump_threshold: int = 12) -> DataFrame:
+    """Split each token series into phrases at large value jumps.
+
+    Token-domain analogue of the reference's phrase-gap split
+    (split_phrase_events, /root/reference/scripts/seed_influx.jl:442-488:
+    a new phrase starts where the inter-event gap exceeds a threshold).
+    Entirely narrow — the phrase boundary flags and their running count
+    (a per-row prefix scan) are computed inside the token array with
+    native expressions, so no explode/shuffle/window is needed.
+    Emits (doc_id, phrase_idx, phrase, phrase_len)."""
+    toks = F.col("tokens")
+    n = F.size(toks)
+    # 0-based positions where a new phrase begins (position i starts a
+    # phrase iff |tokens[i] - tokens[i-1]| >= threshold)
+    # (sequence(1, 0) would count DOWN — guard single-token docs)
+    bpos = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.abs(F.element_at(toks, i + 1) - F.element_at(toks, i))
+            >= jump_threshold,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0)), bpos)
+    ends = F.concat(bpos, F.array(n))
+    phrases = F.zip_with(starts, ends, lambda s, e: F.slice(toks, s + 1, e - s))
+    return tokens_df.filter(n > 0).select(
+        "doc_id",
+        F.posexplode(phrases).alias("phrase_idx", "phrase"),
+    ).withColumn("phrase_len", F.size("phrase"))
 
 
 def sessionize(events: DataFrame, gap_seconds: int = 3600) -> DataFrame:

@@ -1,0 +1,115 @@
+"""Stateful streaming clustering: per-doc incremental kernel state.
+
+The reference's streaming analogue is `add_data_point_permanently!` — one
+point appended, clusters updated incrementally, full state kept in
+memory (/root/reference/src/polyphonic/polyphonic_cluster_manager.jl:
+514-517).  Here the same kernel state lives in Spark's checkpointed
+state store, keyed by doc_id, updated via ``applyInPandasWithState``:
+token chunks stream in, each micro-batch appends them in sequence order
+and emits the doc's refreshed timeline.  Because state is checkpointed,
+a killed job resumes mid-series without re-reading earlier chunks —
+streaming-tier lineage to match the batch pipeline's bucket manifests.
+
+Scale: state per doc is the cluster forest (~O(clusters)); docs
+partition across executors by doc_id hash.  The state store (RocksDB in
+production) spills to disk, so total state is not executor-memory-bound.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import DEFAULT_MERGE_THRESHOLD_RATIO
+
+__all__ = ["CHUNK_SCHEMA", "TIMELINE_STATE_SCHEMA", "incremental_cluster_stream"]
+
+# input stream rows: ordered chunks of a doc's token series
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("seq_no", LongType(), False),
+        StructField("tokens_chunk", ArrayType(IntegerType(), False), False),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("mgr", BinaryType(), True)])
+
+TIMELINE_STATE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("n_points", LongType(), False),
+        StructField("window_size", IntegerType(), False),
+        StructField("cluster_id", StringType(), False),
+        StructField("indices", ArrayType(IntegerType(), False), False),
+    ]
+)
+
+
+def _make_update_fn(merge_threshold_ratio: float):
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from ..kernel.api import analyse_tokens
+        from ..kernel.manager import ClusterManager
+
+        (doc_id,) = key
+        chunks = pd.concat(list(pdfs))
+        if chunks.empty:
+            return
+        chunks = chunks.sort_values("seq_no")
+        new_tokens = [int(t) for arr in chunks["tokens_chunk"] for t in arr]
+
+        if state.exists:
+            mgr: ClusterManager = pickle.loads(bytes(state.get[0]))
+            for v in new_tokens:
+                mgr.add_data_point(float(v))
+        else:
+            if not new_tokens:
+                return
+            mgr = analyse_tokens(new_tokens, merge_threshold_ratio)
+        state.update((pickle.dumps(mgr),))
+
+        rows = {"doc_id": [], "n_points": [], "window_size": [], "cluster_id": [], "indices": []}
+        n = mgr.n
+        for ws, cid, inds in mgr.timeline():
+            rows["doc_id"].append(doc_id)
+            rows["n_points"].append(n)
+            rows["window_size"].append(ws)
+            rows["cluster_id"].append(cid)
+            rows["indices"].append(inds)
+        yield pd.DataFrame(rows)
+
+    return update
+
+
+def incremental_cluster_stream(
+    chunk_stream: DataFrame,
+    merge_threshold_ratio: float = DEFAULT_MERGE_THRESHOLD_RATIO,
+) -> DataFrame:
+    """chunked token stream → per-batch refreshed timelines.
+
+    After all of a doc's chunks have streamed through (any chunking, any
+    number of restarts), the emitted timeline is identical to the batch
+    ``cluster_timeline`` of the whole series — asserted by
+    tests/test_streaming_stateful.py."""
+    return chunk_stream.groupBy("doc_id").applyInPandasWithState(
+        _make_update_fn(float(merge_threshold_ratio)),
+        outputStructType=TIMELINE_STATE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

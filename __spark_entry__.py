@@ -616,6 +616,57 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2 ORDER BY total_spent DESC, c_custkey LIMIT 20"""
 
 
+def q_suppliers_by_region(spark, sf_dir):
+    """Dim-chain broadcast joins: supplier → nation → region rollup."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.countDistinct("n_name").alias("n_nations"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+SQL_SUPPLIERS_BY_REGION = """
+SELECT r_name, COUNT(*) AS n_suppliers,
+       COUNT(DISTINCT n_name) AS n_nations,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Batch tumbling event-time window (same shape the streaming tier
+    uses with a watermark)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events, round(SUM(value), 6) AS total_value
+FROM events GROUP BY 1, 2"""
+
+
 def q_corr(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.agg(
@@ -977,6 +1028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_max": q_collapse_max,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "suppliers_by_region": q_suppliers_by_region,
+        "events_hourly": q_events_hourly,
         "corr_qty_price": q_corr,
         "stable_id": q_stable_id,
         "octave_normalize": q_octave_normalize,
@@ -1025,6 +1078,8 @@ def oracle_sql() -> dict[str, str]:
         "collapse_max": SQL_COLLAPSE_MAX,
         "pricing_summary": SQL_PRICING,
         "top_customers": SQL_TOP_CUSTOMERS,
+        "suppliers_by_region": SQL_SUPPLIERS_BY_REGION,
+        "events_hourly": SQL_EVENTS_HOURLY,
         "corr_qty_price": SQL_CORR,
         "stable_id": SQL_STABLE_ID,
         "octave_normalize": SQL_OCTAVE,

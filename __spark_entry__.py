@@ -979,6 +979,16 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    from tsc_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), [float(v) for v in qv], dim=len(qv), k=10
+    )
+
+
 def q_lsh_dedup_pairs(spark, sf_dir):
     from tsc_spark.operators.dedup import lsh_candidate_pairs
 
@@ -1048,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_scores": q_match_scores,
         "generate": q_generate,
         "ann_topk_lsh": q_ann_lsh,
+        "ann_topk_ivf": q_ann_ivf,
         "lsh_dedup_pairs": q_lsh_dedup_pairs,
     }
 

@@ -1,0 +1,84 @@
+"""Similarity search: exact cosine baseline vs LSH and IVF scale paths."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb_df):
+    row = emb_df.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    return [float(v) for v in row[0]]
+
+
+def _exact_topk_ids(emb_df, query_vec, k):
+    from tsc_spark.operators.similarity import cosine_topk
+
+    rows = cosine_topk(emb_df.filter(F.col("vec_id") != 0), query_vec, k).collect()
+    return [r["vec_id"] for r in rows], {r["vec_id"]: r["cosine"] for r in rows}
+
+
+def test_cosine_topk_matches_numpy(emb_df, query_vec):
+    ids, scores = _exact_topk_ids(emb_df, query_vec, 10)
+    pdf = emb_df.filter(F.col("vec_id") != 0).toPandas()
+    x = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+    q = np.asarray(query_vec)
+    cos = (x @ q) / (np.linalg.norm(x, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -np.round(cos, 6)))[:10]
+    want = pdf["vec_id"].to_numpy()[order].tolist()
+    assert ids == want
+
+
+def test_ivf_recall_against_exact(emb_df, query_vec):
+    from tsc_spark.operators.similarity import ivf_topk
+
+    exact_ids, _ = _exact_topk_ids(emb_df, query_vec, 10)
+    got = ivf_topk(
+        emb_df.filter(F.col("vec_id") != 0), query_vec, dim=len(query_vec), k=10
+    ).collect()
+    got_ids = [r["vec_id"] for r in got]
+    assert len(got_ids) == 10
+    recall = len(set(got_ids) & set(exact_ids)) / 10
+    assert recall >= 0.5  # nprobe=4 of 16 lists
+
+
+def test_ivf_deterministic(emb_df, query_vec):
+    from tsc_spark.operators.similarity import ivf_fit_centroids, ivf_topk
+
+    src = emb_df.filter(F.col("vec_id") != 0)
+    c1 = ivf_fit_centroids(src, len(query_vec))
+    c2 = ivf_fit_centroids(src, len(query_vec))
+    assert np.array_equal(c1, c2)
+    a = [r["vec_id"] for r in ivf_topk(src, query_vec, len(query_vec), cents=c1).collect()]
+    b = [r["vec_id"] for r in ivf_topk(src, query_vec, len(query_vec), cents=c2).collect()]
+    assert a == b
+
+
+def test_ivf_assign_partitions_all_vectors(emb_df, query_vec):
+    from tsc_spark.operators.similarity import ivf_assign, ivf_fit_centroids
+
+    src = emb_df.filter(F.col("vec_id") != 0)
+    cents = ivf_fit_centroids(src, len(query_vec))
+    assigned = ivf_assign(src, cents)
+    assert assigned.filter(F.col("ivf_list").isNull()).count() == 0
+    n_lists = assigned.select("ivf_list").distinct().count()
+    assert 2 <= n_lists <= 16
+    # plan stays native (no python UDF) — IVF assignment is expression-only
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lsh_multiprobe_fills_k(emb_df, query_vec):
+    from tsc_spark.operators.similarity import ann_topk_lsh
+
+    got = ann_topk_lsh(
+        emb_df.filter(F.col("vec_id") != 0), query_vec, dim=len(query_vec), k=10
+    ).collect()
+    assert len(got) == 10

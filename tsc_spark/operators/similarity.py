@@ -12,7 +12,15 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "hyperplane_buckets", "ann_topk_lsh", "near_dup_embeddings"]
+__all__ = [
+    "cosine_topk",
+    "hyperplane_buckets",
+    "ann_topk_lsh",
+    "ivf_fit_centroids",
+    "ivf_assign",
+    "ivf_topk",
+    "near_dup_embeddings",
+]
 
 
 def _dot(a, b) -> F.Column:
@@ -97,6 +105,84 @@ def ann_topk_lsh(
     bucketed = hyperplane_buckets(emb, dim, n_planes)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k)
+
+
+def ivf_fit_centroids(
+    emb: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    sample_fraction: float = 1.0,
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic mini k-means for IVF coarse quantization.
+
+    Centroids are fit driver-side on a (seeded) sample — the standard
+    IVF recipe: the training set is tiny relative to the corpus, the
+    expensive part (assignment) stays distributed.  Lloyd iterations
+    over unit-normalized vectors ≈ spherical k-means for cosine."""
+    df = emb.select("embedding")
+    if sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    x = np.array([list(r[0]) for r in df.collect()], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.maximum(norms, 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]), replace=False)]
+    for _ in range(n_iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(cents.shape[0]):
+            members = x[assign == c]
+            if members.shape[0]:
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def _nearest_centroid_col(cents: np.ndarray) -> F.Column:
+    """argmax_c <embedding, centroid_c> as a native expression.
+
+    Each dot product appears exactly once in an array literal; the
+    argmax is array_position(sims, array_max(sims)) — a linear-size
+    tree.  (A when-chain that threads best_sim/best_id through each
+    step duplicates the whole subtree per centroid → exponential plan.)"""
+    sims = F.array(
+        *[
+            _dot(F.col("embedding"), F.array(*[F.lit(float(v)) for v in cents[c]]))
+            for c in range(cents.shape[0])
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_assign(emb: DataFrame, cents: np.ndarray) -> DataFrame:
+    """Attach the IVF list id (nearest centroid) to every vector.
+
+    At corpus scale the result is written partitioned by ``ivf_list`` so
+    a probe scans only nprobe/n_centroids of the data (partition
+    pruning), the IVF payoff."""
+    return emb.withColumn("ivf_list", _nearest_centroid_col(cents))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    cents: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: score only the nprobe nearest lists."""
+    if cents is None:
+        cents = ivf_fit_centroids(emb, dim, n_centroids)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_lists = np.argsort(-(cents @ qn))[: max(nprobe, 1)].tolist()
+    assigned = ivf_assign(emb, cents)
+    cand = assigned.filter(F.col("ivf_list").isin([int(p) for p in probe_lists]))
+    return cosine_topk(cand.drop("ivf_list"), query_vec, k)
 
 
 def near_dup_embeddings(

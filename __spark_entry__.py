@@ -952,6 +952,34 @@ def q_match_scores(spark, sf_dir):
     return match_scores(m)
 
 
+def q_note_vol_matches(spark, sf_dir):
+    """Octave-invariant note+vol query over a notevol view of the tokens
+    corpus (notes = token+48 lifted to MIDI range, vols quantized)."""
+    from tsc_spark.operators.matching import note_vol_query_matches
+
+    t = _tokens(spark, sf_dir)
+    nv = t.select(
+        "doc_id",
+        F.transform("tokens", lambda x: (x + F.lit(48)).cast("double")).alias("notes"),
+        F.transform("tokens", lambda x: (F.pmod(x * 7, F.lit(16)) / F.lit(15.0))).alias(
+            "vols"
+        ),
+    )
+    # query = opening motif of the first doc, lifted one octave — its
+    # source doc is then an exact octave-invariant match of itself
+    first = (
+        nv.filter(F.size("notes") >= 3)
+        .orderBy("doc_id")
+        .select(F.slice("notes", 1, 3).alias("n"), F.slice("vols", 1, 3).alias("v"))
+        .limit(1)
+        .collect()[0]
+    )
+    query_points = [[float(n) + 12.0, float(v)] for n, v in zip(first["n"], first["v"])]
+    return note_vol_query_matches(
+        spark, nv, query_points, merge_threshold=0.0, min_match_window=3
+    )
+
+
 def q_generate(spark, sf_dir):
     """Complexity-guided generation (reference generate warmup payload);
     driver-side serial per request, parallel across requests."""
@@ -1056,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_tree": q_cluster_tree,
         "query_matches": q_query_matches,
         "match_scores": q_match_scores,
+        "note_vol_matches": q_note_vol_matches,
         "generate": q_generate,
         "ann_topk_lsh": q_ann_lsh,
         "ann_topk_ivf": q_ann_ivf,

@@ -31,6 +31,7 @@ __all__ = [
     "query_matches",
     "match_scores",
     "exact_window_matches",
+    "note_vol_query_matches",
     "octave_invariant_matches",
     "filter_contained_relational",
 ]
@@ -147,6 +148,50 @@ def exact_window_matches(tokens_df: DataFrame, window_sizes=(3, 4)) -> DataFrame
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def note_vol_query_matches(
+    spark: SparkSession,
+    notevol_df: DataFrame,
+    query_points: list[list[float]],
+    merge_threshold: float = 0.0,
+    min_match_window: int = 3,
+) -> DataFrame:
+    """Octave-invariant note+vol query matching over a corpus of
+    (doc_id, notes array<double>, vols array<double>) rows — the Spark
+    shape of the reference's query_db midi_note_vol mode (controller
+    :485-560 + :399-427): broadcast the (tiny) query point list, run the
+    exact brute-force matcher per doc in a shuffle-free mapInPandas."""
+    from ..kernel.notevol import find_octave_invariant_matches
+    from .clustering import auto_balance
+
+    bc = spark.sparkContext.broadcast([[float(a), float(b)] for a, b in query_points])
+    mmw = int(min_match_window)
+    thr = float(merge_threshold)
+
+    src = auto_balance(notevol_df).select("doc_id", "notes", "vols")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q = bc.value
+        for pdf in batches:
+            out = {"doc_id": [], "q_start": [], "db_start": [], "window_size": []}
+            for doc_id, notes, vols in zip(pdf["doc_id"], pdf["notes"], pdf["vols"]):
+                pts = [[float(n), float(v)] for n, v in zip(notes, vols)]
+                for qs, ds, ws in find_octave_invariant_matches(q, pts, thr, mmw):
+                    out["doc_id"].append(doc_id)
+                    out["q_start"].append(qs)
+                    out["db_start"].append(ds)
+                    out["window_size"].append(ws)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "q_start": pd.Series(out["q_start"], dtype="int32"),
+                    "db_start": pd.Series(out["db_start"], dtype="int32"),
+                    "window_size": pd.Series(out["window_size"], dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(run, MATCH_SCHEMA)
 
 
 def octave_invariant_matches(tokens_df: DataFrame, window_size: int = 4) -> DataFrame:

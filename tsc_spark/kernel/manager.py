@@ -180,6 +180,11 @@ class ClusterManager:
         self._journal: list[tuple] = []
         self._snapshot = None
 
+        # distance scans switch to vectorized batch paths at this many
+        # candidates; set-mode subclasses disable batching (their points
+        # are ragged sets, not scalars)
+        self._batch_threshold = 8
+
     # ------------------------------------------------------------------
     # data access
     # ------------------------------------------------------------------
@@ -435,7 +440,7 @@ class ClusterManager:
         # nearest child by (distance, cluster_id) — reference ...:1144-1157;
         # the (d, id) min is iteration-order independent.
         cids = sorted(parent.cc)
-        if len(cids) >= 8:
+        if len(cids) >= self._batch_threshold:
             reps = np.stack([parent.cc[c].rep for c in cids])
             dists = self._seq_dists_batch(reps, latest_seq)
             i = int(np.argmin(dists))  # first minimum == smallest cid
@@ -477,7 +482,7 @@ class ClusterManager:
     ) -> None:
         valid_group: list[int] = []
         invalid_group: list[int] = []
-        if len(valid_si) >= 8:
+        if len(valid_si) >= self._batch_threshold:
             idx = np.asarray(valid_si, dtype=np.int64)[:, None] + np.arange(
                 new_length, dtype=np.int64
             )
@@ -519,6 +524,20 @@ class ClusterManager:
             self._add_updated(self.updated_dist, new_length, cid)
             self.cluster_id_counter += 1
 
+    def _root_dists(self, latest_seq) -> np.ndarray:
+        """Distance of every root representative to latest_seq.
+
+        Vectorized nearest-root scan over the flat rep mirror; bit-equal
+        per-row arithmetic, argmin first-hit == smaller-id tie-break.
+        Empty-set representatives read sqrt(mw) (each step distance 1.0,
+        reference ...:250)."""
+        mw = self.min_window_size
+        k = len(self._root_ids)
+        dists = self._seq_dists_batch(self._root_reps[:k], latest_seq)
+        for ecid in self._root_empty:
+            dists[self._root_row[ecid]] = math.sqrt(float(mw))
+        return dists
+
     def _root_add(self, cid: int, node: ClusterNode) -> None:
         row = len(self._root_ids)
         self._root_ids.append(cid)
@@ -543,13 +562,7 @@ class ClusterManager:
         mw = self.min_window_size
         latest_seq = self._window(latest_start, mw)
 
-        # vectorized nearest-root scan over the flat rep mirror; bit-equal
-        # per-row arithmetic, argmin first-hit == smaller-id tie-break
-        k = len(self._root_ids)
-        dists = self._seq_dists_batch(self._root_reps[:k], latest_seq)
-        for ecid in self._root_empty:
-            # empty-set representative: every step distance is 1.0
-            dists[self._root_row[ecid]] = math.sqrt(float(mw))
+        dists = self._root_dists(latest_seq)
         owner = self._start_to_root.get(latest_start)
         if owner is not None:
             dists[self._root_row[owner]] = math.inf

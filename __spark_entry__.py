@@ -938,6 +938,23 @@ def q_cluster_tree(spark, sf_dir):
     return cluster_tree(_tokens(spark, sf_dir), merge_threshold_ratio=0.3)
 
 
+def q_cluster_timeline_poly(spark, sf_dir):
+    """Polyphonic clustering over a chords view of the corpus: every
+    even position is a dyad (token + its major third mod 24)."""
+    from tsc_spark.operators.clustering import cluster_timeline_poly
+
+    t = _tokens(spark, sf_dir)
+    chords = t.select(
+        "doc_id",
+        F.expr(
+            "transform(tokens, (x, i) -> IF(i % 2 = 0, "
+            "array(CAST(x AS DOUBLE), CAST((x + 4) % 24 AS DOUBLE)), "
+            "array(CAST(x AS DOUBLE))))"
+        ).alias("chords"),
+    )
+    return cluster_timeline_poly(chords, merge_threshold_ratio=0.3)
+
+
 def q_query_matches(spark, sf_dir):
     from tsc_spark.operators.matching import query_matches
 
@@ -1081,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacent_roughness": q_adjacent_roughness,
         # kernel queries — rows-only checks (non-SQL-expressible)
         "cluster_timeline": q_cluster_timeline,
+        "cluster_timeline_poly": q_cluster_timeline_poly,
         "cluster_tree": q_cluster_tree,
         "query_matches": q_query_matches,
         "match_scores": q_match_scores,

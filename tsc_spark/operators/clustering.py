@@ -40,6 +40,7 @@ __all__ = [
     "balance_for_kernel",
     "auto_balance",
     "cluster_timeline",
+    "cluster_timeline_poly",
     "cluster_tree",
     "cluster_timeline_rows",
 ]
@@ -143,6 +144,68 @@ def cluster_timeline(
             )
 
     return src.mapInPandas(run, TIMELINE_SCHEMA)
+
+
+POLY_TIMELINE_SCHEMA = TIMELINE_SCHEMA
+
+
+def cluster_timeline_poly(
+    df: DataFrame,
+    merge_threshold_ratio: float = DEFAULT_MERGE_THRESHOLD_RATIO,
+    contextual_min_width: float = DEFAULT_CONTEXTUAL_MIN_WIDTH,
+    max_set_size: int = 4,
+    point_distance_mode: str = "set",
+    point_axis_ranges: tuple = (),
+) -> DataFrame:
+    """Polyphonic clustering over a chords table
+    (doc_id, chords: array<array<double>>) — each timestep is a PolySet
+    (reference data model, .../polyphonic_cluster_manager.jl:24-27).
+    Same shuffle-free mapInPandas shape as the token path; the kernel is
+    kernel.polymanager.PolyClusterManager (set distances, sorted-set
+    averaging, exact singleton equivalence to the scalar kernel)."""
+    mtr = float(merge_threshold_ratio)
+    cmw = float(contextual_min_width)
+    mss = int(max_set_size)
+    mode = point_distance_mode
+    axes = tuple(float(a) for a in point_axis_ranges)
+
+    src = auto_balance(df).select("doc_id", "chords")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.polymanager import PolyClusterManager
+
+        for pdf in batches:
+            out_doc, out_ws, out_cid, out_idx = [], [], [], []
+            for doc_id, chords in zip(pdf["doc_id"], pdf["chords"]):
+                if len(chords) == 0:
+                    continue
+                mgr = PolyClusterManager(
+                    [list(c) for c in chords],
+                    mtr,
+                    2,
+                    True,
+                    scale_mode="contextual_global_halves",
+                    contextual_min_width=cmw,
+                    max_set_size=mss,
+                    point_distance_mode=mode,
+                    point_axis_ranges=axes,
+                )
+                mgr.process_data()
+                for ws, cid, inds in mgr.timeline():
+                    out_doc.append(doc_id)
+                    out_ws.append(ws)
+                    out_cid.append(cid)
+                    out_idx.append(inds)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "window_size": pd.Series(out_ws, dtype="int32"),
+                    "cluster_id": out_cid,
+                    "indices": out_idx,
+                }
+            )
+
+    return src.mapInPandas(run, POLY_TIMELINE_SCHEMA)
 
 
 def cluster_tree(

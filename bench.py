@@ -65,10 +65,19 @@ BENCH_QUERY_NAMES = [
     "pricing_summary",
     "top_customers",
     "window_matches",
+    "octave_matches",
+    "split_phrases",
+    "rollup_locf",
+    "contextual_width",
+    "adjacent_roughness",
+    "media_stats",
+    "suppliers_by_region",
+    "events_hourly",
     "codec_roundtrip",
     "cluster_timeline",
     "query_matches",
     "lsh_dedup_pairs",
+    "ann_topk_ivf",
 ]
 
 

@@ -329,28 +329,39 @@ def contextual_width(tokens_df: DataFrame, min_width: float = 1.0) -> DataFrame:
     Reference update_value_width! (/root/reference/src/polyphonic/
     polyphonic_cluster_manager.jl:1063-1094): width = |mean(values >=
     mean) − mean(values <= mean)| clamped below by contextual_min_width;
-    degenerate width becomes 1.0.  All-native: three array reductions
-    per row, no explode/shuffle."""
+    degenerate width becomes 1.0.  All-native and per-row; the mean is
+    materialized as a column BEFORE the half filters so the filter
+    lambdas bind a row attribute — inlining the aggregate expression
+    into the lambda re-evaluates it per array element (O(n²))."""
     toks = F.transform(F.col("tokens"), lambda t: t.cast("double"))
-    total = F.aggregate(toks, F.lit(0.0), lambda a, x: a + x)
-    mean = F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    staged = tokens_df.select("doc_id", toks.alias("vals")).withColumn(
+        "data_mean",
+        F.when(
+            F.size("vals") > 0,
+            F.aggregate("vals", F.lit(0.0), lambda a, x: a + x) / F.size("vals"),
+        ).otherwise(F.lit(0.0)),
+    )
 
     def half_mean(cmp):
-        half = F.filter(toks, cmp)
+        half = F.filter(F.col("vals"), cmp)
         return F.when(
             F.size(half) > 0,
             F.aggregate(half, F.lit(0.0), lambda a, x: a + x) / F.size(half),
         ).otherwise(F.lit(0.0))
 
-    lower = half_mean(lambda x: x <= mean)
-    upper = half_mean(lambda x: x >= mean)
-    delta = F.greatest(F.abs(upper - lower), F.lit(float(min_width)))
+    staged = staged.withColumn(
+        "lower_half_avg", half_mean(lambda x: x <= F.col("data_mean"))
+    ).withColumn("upper_half_avg", half_mean(lambda x: x >= F.col("data_mean")))
+    delta = F.greatest(
+        F.abs(F.col("upper_half_avg") - F.col("lower_half_avg")),
+        F.lit(float(min_width)),
+    )
     width = F.when(delta <= 0.0, F.lit(1.0)).otherwise(delta)
-    return tokens_df.select(
+    return staged.select(
         "doc_id",
-        F.round(mean, 6).alias("data_mean"),
-        F.round(lower, 6).alias("lower_half_avg"),
-        F.round(upper, 6).alias("upper_half_avg"),
+        F.round("data_mean", 6).alias("data_mean"),
+        F.round("lower_half_avg", 6).alias("lower_half_avg"),
+        F.round("upper_half_avg", 6).alias("upper_half_avg"),
         F.round(width, 6).alias("value_width"),
     )
 

@@ -48,6 +48,9 @@ def norm_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # point fixture-oracle generation at the sf under test (the driver
+    # itself runs at the default, sf0.01)
+    os.environ["TSC_ORACLE_SF_DIR"] = sf_dir
 
     spark = get_spark("check_entry", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
@@ -58,6 +61,10 @@ def main():
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print("unknown query names:", sorted(unknown))
+        sys.exit(2)
     failures = []
     for name, fn in queries.items():
         if only and name not in only:

@@ -112,21 +112,32 @@ def ivf_fit_centroids(
     dim: int,
     n_centroids: int = 16,
     n_iters: int = 5,
-    sample_fraction: float = 1.0,
+    max_train: int = 65536,
     seed: int = 11,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic mini k-means for IVF coarse quantization.
 
-    Centroids are fit driver-side on a (seeded) sample — the standard
-    IVF recipe: the training set is tiny relative to the corpus, the
-    expensive part (assignment) stays distributed.  Lloyd iterations
-    over unit-normalized vectors ≈ spherical k-means for cosine."""
-    df = emb.select("embedding")
-    if sample_fraction < 1.0:
-        df = df.sample(fraction=sample_fraction, seed=seed)
-    x = np.array([list(r[0]) for r in df.collect()], dtype=np.float64)
+    Centroids are fit driver-side on a **bounded, deterministic**
+    training sample — the ``max_train`` lowest ids via a TopK
+    (TakeOrderedAndProject — never a full sort, never a full-corpus
+    collect, so the driver footprint is O(max_train·dim) even at 100 TB).
+    The standard IVF recipe: the training set is tiny relative to the
+    corpus, the expensive part (assignment) stays distributed.  Lloyd
+    iterations over unit-normalized vectors ≈ spherical k-means for
+    cosine.  Fully reproducible from SQL (ORDER BY id LIMIT max_train),
+    which is how the DuckDB oracle re-derives the same centroids."""
+    df = emb.select(id_col, "embedding").orderBy(id_col).limit(int(max_train))
+    x = np.array([list(r[1]) for r in df.collect()], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.maximum(norms, 1e-12)
+    return _kmeans_numpy(x, n_centroids, n_iters, seed)
+
+
+def _kmeans_numpy(
+    x: np.ndarray, n_centroids: int, n_iters: int, seed: int
+) -> np.ndarray:
+    """Shared spherical-k-means core (also used by the oracle replica)."""
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]), replace=False)]
     for _ in range(n_iters):

@@ -1,0 +1,391 @@
+"""Fixture oracles for the non-SQL-expressible kernel queries.
+
+The clustering/matching/generation kernels are pure Python (no Spark),
+so the oracle for their queries is computed independently of the Spark
+execution path: read the driver parquet directly (duckdb), replicate
+the deterministic input derivations (tokenize / chords / notevol), run
+the kernel per series on the *driver*, and emit a DuckDB ``VALUES``
+table.  The driver then compares the distributed Spark result against
+this single-process ground truth — exactly the "checked-in fixture
+oracle" pattern, with the fixture generated from the same public kernel
+semantics the pytest goldens pin against the reference docs
+(/root/reference/docs/analyse.md, polyphonic_cluster_manager.jl:744-768).
+
+Fixtures are cached as SQL files under ``fixtures/<sf_name>/`` so the
+driver-time ``oracle_sql()`` call is a file read; ``scripts/gen_fixtures.py``
+pre-generates and commits them.  The target scale-factor directory is
+``$TSC_ORACLE_SF_DIR`` (default ``/root/testdata/sf0.01`` — the scale
+the driver's correctness gate runs at).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+from .functions.canon import fmt_double_seq
+
+DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+QUERY_TOKENS = [0, 1, 3, 2, 4, 5, 3, 1]  # reference warmup payload
+GENERATE_REQUESTS = [
+    ("warmup", [0, 1, 3], [0.2, 0.5], 0.02, 0, 11),
+    ("alt", [5, 7, 5], [0.1, 0.9], 0.3, 0, 24),
+]
+
+
+def oracle_sf_dir() -> str:
+    return os.environ.get("TSC_ORACLE_SF_DIR", DEFAULT_ORACLE_SF_DIR)
+
+
+# ----------------------------------------------------------------------
+# deterministic input derivations (pure-Python twins of the Spark exprs)
+# ----------------------------------------------------------------------
+def tokenize_text(text: str, vocab: int = 24) -> list[int]:
+    """Twin of operators.text.tokenize_documents / SQL_TOKENS."""
+    return [
+        (7 * len(w) + (ord(w[0]) if w else 0)) % vocab for w in text.split(" ")
+    ]
+
+
+_TOKEN_CACHE: dict[str, list] = {}
+_KEPT_CACHE: dict[str, list] = {}
+
+
+def load_token_series(sf_dir: str) -> list[tuple[str, list[int]]]:
+    if sf_dir in _TOKEN_CACHE:
+        return _TOKEN_CACHE[sf_dir]
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT CAST(doc_id AS VARCHAR), text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    out = [(doc_id, tokenize_text(text)) for doc_id, text in rows]
+    _TOKEN_CACHE[sf_dir] = out
+    return out
+
+
+def _csv(vals) -> str:
+    return ",".join(str(int(v)) for v in vals)
+
+
+# ----------------------------------------------------------------------
+# per-query fixture builders → (columns, list[tuple])
+# ----------------------------------------------------------------------
+def _fx_cluster_timeline(sf_dir: str):
+    from .kernel.api import analyse_tokens
+
+    rows = []
+    for doc_id, toks in load_token_series(sf_dir):
+        mgr = analyse_tokens(toks, 0.3)
+        for ws, cid, inds in mgr.timeline():
+            rows.append((doc_id, int(ws), cid, _csv(inds)))
+    return ["doc_id", "window_size", "cluster_id", "indices"], rows
+
+
+def _fx_cluster_tree(sf_dir: str):
+    from .kernel.api import analyse_tokens
+
+    rows = []
+    for doc_id, toks in load_token_series(sf_dir):
+        mgr = analyse_tokens(toks, 0.3)
+        for path, si, rep in mgr.tree():
+            rows.append((doc_id, _csv(path), _csv(si), fmt_double_seq(rep)))
+    return ["doc_id", "path", "si", "rep"], rows
+
+
+def _fx_cluster_timeline_poly(sf_dir: str):
+    from .config import DEFAULT_CONTEXTUAL_MIN_WIDTH
+    from .kernel.polymanager import PolyClusterManager
+
+    rows = []
+    for doc_id, toks in load_token_series(sf_dir):
+        chords = [
+            [float(x), float((x + 4) % 24)] if i % 2 == 0 else [float(x)]
+            for i, x in enumerate(toks)
+        ]
+        if not chords:
+            continue
+        mgr = PolyClusterManager(
+            chords,
+            0.3,
+            2,
+            True,
+            scale_mode="contextual_global_halves",
+            contextual_min_width=DEFAULT_CONTEXTUAL_MIN_WIDTH,
+            max_set_size=4,
+            point_distance_mode="set",
+            point_axis_ranges=(),
+        )
+        mgr.process_data()
+        for ws, cid, inds in mgr.timeline():
+            rows.append((doc_id, int(ws), cid, _csv(inds)))
+    return ["doc_id", "window_size", "cluster_id", "indices"], rows
+
+
+def _kept_matches(sf_dir: str):
+    import pickle
+
+    from .kernel.matching import build_query_seed, match_series
+
+    if sf_dir in _KEPT_CACHE:
+        return _KEPT_CACHE[sf_dir]
+    seed_bytes = pickle.dumps(build_query_seed(QUERY_TOKENS))
+    per_doc = []
+    for doc_id, toks in load_token_series(sf_dir):
+        if not toks:
+            continue
+        local = pickle.loads(seed_bytes)
+        kept, _score = match_series(local, toks, copy_seed=False)
+        if kept:
+            per_doc.append((doc_id, kept))
+    _KEPT_CACHE[sf_dir] = per_doc
+    return per_doc
+
+
+def _fx_query_matches(sf_dir: str):
+    rows = []
+    for doc_id, kept in _kept_matches(sf_dir):
+        for qs, ds, ws in kept:
+            rows.append((doc_id, int(qs), int(ds), int(ws)))
+    return ["doc_id", "q_start", "db_start", "window_size"], rows
+
+
+def _fx_match_scores(sf_dir: str):
+    rows = []
+    for doc_id, kept in _kept_matches(sf_dir):
+        counts: dict[int, int] = {}
+        for _qs, _ds, ws in kept:
+            counts[ws] = counts.get(ws, 0) + 1
+        score = [counts[k] for k in sorted(counts, reverse=True)]
+        rows.append((doc_id, _csv(score)))
+    return ["doc_id", "score"], rows
+
+
+def _fx_note_vol_matches(sf_dir: str):
+    from .kernel.notevol import find_octave_invariant_matches
+
+    nv = []
+    for doc_id, toks in load_token_series(sf_dir):
+        notes = [float(t + 48) for t in toks]
+        vols = [((t * 7) % 16) / 15.0 for t in toks]
+        nv.append((doc_id, notes, vols))
+    # query = first-3 points of the lexicographically-first doc with >= 3
+    # notes, lifted one octave (twin of q_note_vol_matches)
+    eligible = sorted((d for d in nv if len(d[1]) >= 3), key=lambda d: d[0])
+    first = eligible[0]
+    q = [[first[1][i] + 12.0, first[2][i]] for i in range(3)]
+    rows = []
+    for doc_id, notes, vols in nv:
+        pts = [[n, v] for n, v in zip(notes, vols)]
+        for qs, ds, ws in find_octave_invariant_matches(q, pts, 0.0, 3):
+            rows.append((doc_id, int(qs), int(ds), int(ws)))
+    return ["doc_id", "q_start", "db_start", "window_size"], rows
+
+
+def _fx_generate(sf_dir: str):
+    from .kernel.api import generate_tokens
+
+    rows = []
+    for name, first, targets, mtr, lo, hi in GENERATE_REQUESTS:
+        result, _mgr = generate_tokens(first, targets, mtr, lo, hi)
+        rows.append((name, _csv(result)))
+    return ["request", "series"], rows
+
+
+def _fx_image_features(sf_dir: str):
+    """Twin of q_image_features: media_from_documents → fake decode →
+    8-dim features, rendered with the shared double formatter."""
+    import numpy as np
+
+    from .operators.multimodal import fake_image_decode
+
+    con = duckdb.connect()
+    rows_in = con.sql(
+        "SELECT CAST(doc_id AS VARCHAR), CAST(doc_id AS BIGINT), text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') WHERE doc_id % 3 = 0"
+    ).fetchall()
+    con.close()
+    rows = []
+    for doc_id, did, text in rows_in:
+        w = 64 + (did % 8) * 32
+        h = 64 + (did % 4) * 32
+        img = fake_image_decode(text.encode("utf-8"), int(w), int(h))
+        hh, wh = img.shape[0] // 2 or 1, img.shape[1] // 2 or 1
+        q = [
+            img[:hh, :wh].mean(),
+            img[:hh, wh:].mean() if img.shape[1] > wh else 0.0,
+            img[hh:, :wh].mean() if img.shape[0] > hh else 0.0,
+            img[hh:, wh:].mean() if min(img.shape) > min(hh, wh) else 0.0,
+        ]
+        feats = [
+            float(img.mean()),
+            float(img.std()),
+            float(img.min()),
+            float(img.max()),
+        ] + [float(x) for x in q]
+        rows.append((doc_id, f"media_{doc_id}", fmt_double_seq(feats)))
+    return ["doc_id", "media_id", "features"], rows
+
+
+FIXTURE_BUILDERS = {
+    "cluster_timeline": _fx_cluster_timeline,
+    "cluster_tree": _fx_cluster_tree,
+    "cluster_timeline_poly": _fx_cluster_timeline_poly,
+    "query_matches": _fx_query_matches,
+    "match_scores": _fx_match_scores,
+    "note_vol_matches": _fx_note_vol_matches,
+    "generate": _fx_generate,
+    "image_features": _fx_image_features,
+}
+
+# int columns are rendered as BIGINT casts so the driver-side pandas
+# dtype matches Spark's long projections
+_INT_COLS = {"window_size", "q_start", "db_start"}
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def build_fixture_sql(name: str, sf_dir: str) -> str:
+    cols, rows = FIXTURE_BUILDERS[name](sf_dir)
+    proj = ", ".join(
+        f"CAST({c} AS BIGINT) AS {c}" if c in _INT_COLS else f"CAST({c} AS VARCHAR) AS {c}"
+        for c in cols
+    )
+    if not rows:
+        return f"SELECT {proj} FROM (VALUES ({', '.join(['NULL'] * len(cols))})) AS t({', '.join(cols)}) WHERE FALSE"
+    values = ",\n".join("(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in rows)
+    return f"SELECT {proj} FROM (VALUES\n{values}\n) AS t({', '.join(cols)})"
+
+
+def fixture_sql(name: str, sf_dir: str | None = None, force: bool = False) -> str:
+    """Cached fixture SQL for one query (generated on miss)."""
+    sf = sf_dir or oracle_sf_dir()
+    cache = os.path.join(FIXTURE_ROOT, os.path.basename(os.path.normpath(sf)), f"{name}.sql")
+    if not force and os.path.exists(cache):
+        with open(cache) as f:
+            return f.read()
+    sql = build_fixture_sql(name, sf)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    with open(cache, "w") as f:
+        f.write(sql)
+    return sql
+
+
+# ----------------------------------------------------------------------
+# ANN oracles: real DuckDB SQL with the deterministic literals (LSH
+# planes / fitted IVF centroids / probe lists) inlined.  The distributed
+# parts — bucket assignment, list assignment, candidate scan, exact
+# cosine top-k — are recomputed independently by DuckDB.
+# ----------------------------------------------------------------------
+def _lit_list(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _dot_sql(vec_expr: str, lits) -> str:
+    return f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), {_lit_list(lits)})"
+
+
+def _bucket_sql(vec_expr: str, planes) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_dot_sql(vec_expr, planes[j])} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(planes.shape[0])
+    )
+
+
+_COSINE_TAIL = """
+scored AS (
+  SELECT c.vec_id,
+         round(
+           (SELECT SUM(c.emb[i] * q.qe[i])
+            FROM unnest(generate_series(1, len(c.emb))) AS t(i))
+           / (sqrt((SELECT SUM(c.emb[i] * c.emb[i])
+                    FROM unnest(generate_series(1, len(c.emb))) AS t(i)))
+              * sqrt((SELECT SUM(q.qe[i] * q.qe[i])
+                      FROM unnest(generate_series(1, len(q.qe))) AS t(i)))),
+           6) AS cosine
+  FROM cand c, q
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+def ann_oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    import numpy as np
+
+    from .operators.similarity import _kmeans_numpy
+
+    sf = sf_dir or oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet') "
+        "ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    qv = np.asarray(
+        next(e for vid, e in rows if vid == 0), dtype=np.float64
+    )
+    dim = qv.shape[0]
+
+    out = {}
+
+    # --- multi-probe LSH (twin of operators.similarity.ann_topk_lsh) ---
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((8, dim))
+    qbucket = 0
+    for j in range(8):
+        if float(planes[j] @ qv) > 0:
+            qbucket |= 1 << j
+    out["ann_topk_lsh"] = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         {_bucket_sql("embedding", planes)} AS bucket
+  FROM embeddings WHERE vec_id != 0
+),
+cand AS (
+  SELECT vec_id, emb FROM b
+  WHERE bit_count(CAST(xor(bucket, {qbucket}) AS BIGINT)) <= 2
+),{_COSINE_TAIL}"""
+
+    # --- IVF (twin of operators.similarity.ivf_topk) ---
+    x = np.array([e for vid, e in rows if vid != 0][:65536], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = _kmeans_numpy(x, 16, 5, 11)
+    qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
+    probes = np.argsort(-(cents @ qn))[:4].tolist()
+    sims = "[" + ", ".join(_dot_sql("embedding", cents[c]) for c in range(cents.shape[0])) + "]"
+    out["ann_topk_ivf"] = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         (list_position(sims, list_aggregate(sims, 'max')) - 1) AS ivf_list
+  FROM (SELECT vec_id, embedding, {sims} AS sims
+        FROM embeddings WHERE vec_id != 0)
+),
+cand AS (
+  SELECT vec_id, emb FROM assigned
+  WHERE ivf_list IN ({", ".join(str(int(p)) for p in probes)})
+),{_COSINE_TAIL}"""
+    return out
+
+
+def all_fixture_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """Every fixture oracle; failures degrade to rows-only (key omitted)."""
+    out = {}
+    for name in FIXTURE_BUILDERS:
+        try:
+            out[name] = fixture_sql(name, sf_dir)
+        except Exception:
+            pass
+    try:
+        out.update(ann_oracle_sql(sf_dir))
+    except Exception:
+        pass
+    return out

@@ -1127,6 +1127,35 @@ def q_generate(spark, sf_dir):
     )
 
 
+def q_generate_poly(spark, sf_dir):
+    """Polyphonic multi-stream generation (reference controller
+    :2761-4600 + multi_stream_manager.jl): stream pool lifecycle, area
+    bands, register windows, chord_range search, STM dissonance —
+    distributed one request per executor task."""
+    from tsc_spark.operators.generate import generate_polyphonic_distributed
+    from tsc_spark.oracle_fixtures import GENERATE_POLY_REQUESTS
+
+    df = generate_polyphonic_distributed(spark, GENERATE_POLY_REQUESTS)
+    return df.select(
+        "request",
+        F.col("step").cast("long").alias("step"),
+        F.col("stream").cast("long").alias("stream"),
+        _csv_int_arr("notes").alias("notes"),
+        "vol",
+        "brightness",
+        "noise",
+        "harmonicity",
+        "attack",
+        "decay_sustain",
+        "release",
+        F.col("chord_range").cast("long").alias("chord_range"),
+        "density",
+        "sustain",
+        "legato",
+        "generated",
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     from tsc_spark.operators.similarity import ann_topk_lsh
 
@@ -1234,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_scores": q_match_scores,
         "note_vol_matches": q_note_vol_matches,
         "generate": q_generate,
+        "generate_poly": q_generate_poly,
         "ann_topk_lsh": q_ann_lsh,
         "ann_topk_ivf": q_ann_ivf,
         "lsh_dedup_pairs": q_lsh_dedup_pairs,

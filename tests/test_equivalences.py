@@ -65,3 +65,57 @@ class TestRollupPathEquivalence:
         grp = rows(rollup_points(explode_points(toks), stride, tier))
         assert hof == npp == grp
         assert len(hof) > 0
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    st.lists(st.integers(min_value=0, max_value=23), min_size=0, max_size=40),
+)
+def test_match_series_rollback_equals_fresh_copy(db_toks):
+    """The journal-rollback matcher must (a) produce identical matches to
+    a fresh seed copy and (b) leave the reusable seed bit-identical, so
+    the Spark worker can amortise one unpickle across a whole batch."""
+    import pickle
+
+    from tsc_spark.kernel.matching import (
+        build_query_seed,
+        match_series,
+        match_series_rollback,
+    )
+
+    seed = build_query_seed([0, 1, 3, 2, 4, 5, 3, 1])
+    before = pickle.dumps(seed)
+    tl_before = sorted((ws, cid, list(si)) for ws, cid, si in seed.timeline())
+    n_before, width_before, ctr_before = seed.n, seed.value_width, seed.cluster_id_counter
+    tasks_before = [(list(k), l) for k, l in seed.tasks]
+
+    fresh = pickle.loads(before)
+    expected = match_series(fresh, db_toks, copy_seed=False)
+    got = match_series_rollback(seed, db_toks)
+
+    assert got == expected
+    # seed state semantically restored (buffer capacity growth and set
+    # iteration order may differ — both are pickle-visible but inert)
+    assert seed.n == n_before
+    assert seed.value_width == width_before
+    assert seed.cluster_id_counter == ctr_before
+    assert [(list(k), l) for k, l in seed.tasks] == tasks_before
+    assert sorted((ws, cid, list(si)) for ws, cid, si in seed.timeline()) == tl_before
+
+
+def test_match_series_rollback_reusable_across_docs():
+    """Sequential reuse over many docs == fresh copy per doc."""
+    import pickle
+
+    from tsc_spark.kernel.matching import (
+        build_query_seed,
+        match_series,
+        match_series_rollback,
+    )
+    from tsc_spark.sources.synth import synth_tokens
+
+    seed = build_query_seed([0, 1, 3, 2, 4, 5, 3, 1])
+    seed_bytes = pickle.dumps(seed)
+    for _doc_id, toks, _src in synth_tokens(24, include_edges=True):
+        expected = match_series(pickle.loads(seed_bytes), toks, copy_seed=False)
+        assert match_series_rollback(seed, toks) == expected

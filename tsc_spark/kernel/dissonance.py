@@ -182,6 +182,21 @@ class StmManager:
             (float(onset), list(midi_notes), list(amps), d_cur)
         )
 
+    def evaluate_total(self, midi_notes, amps, onset: float) -> float:
+        """Scalar roughness = current + interference (reference
+        ...stm_manager.jl:51-54)."""
+        d_cur, interf = self.evaluate(midi_notes, amps, onset)
+        return d_cur + interf
+
+    def commit(self, midi_notes, amps, onset: float) -> float:
+        """Evaluate, prune, then remember the event (reference
+        commit!, ...stm_manager.jl:56-64)."""
+        d_cur = self._d(midi_notes, amps)
+        d_total = d_cur + self.memory_interference(midi_notes, amps, onset, d_cur)
+        self.prune(onset)
+        self.memory.append((float(onset), list(midi_notes), list(amps), d_cur))
+        return d_total
+
     def prune(self, onset: float) -> None:
         """Keep events with decay weight >= prune threshold
         (reference ...stm_manager.jl:175-190)."""

@@ -21,6 +21,7 @@ from .manager import ClusterManager
 __all__ = [
     "build_query_seed",
     "match_series",
+    "match_series_rollback",
     "filter_contained_matches",
     "match_score",
 ]
@@ -93,6 +94,27 @@ def match_score(matches) -> list[int]:
     return [counts[k] for k in sorted(counts, reverse=True)]
 
 
+def _extract_cross_matches(mgr: ClusterManager, qlen: int, slen: int, min_match_window: int):
+    """Cross-cluster (q_start, db_start, ws) extraction (reference
+    ...:157-201): clusters whose members span both the query prefix and
+    the appended DB suffix yield the index cross product."""
+    matches: list[tuple[int, int, int]] = []
+    for ws, _cid, inds in mgr.timeline():
+        if ws < min_match_window:
+            continue
+        has_q = any(i < qlen for i in inds)
+        has_db = any(i >= qlen for i in inds)
+        if not (has_q and has_db):
+            continue
+        q_indices = sorted(i for i in inds if i < qlen and i + ws <= qlen)
+        db_indices = sorted(i - qlen for i in inds if i >= qlen and (i - qlen) + ws <= slen)
+        if q_indices and db_indices:
+            for qi in q_indices:
+                for dbi in db_indices:
+                    matches.append((qi, dbi, ws))
+    return matches
+
+
 def match_series(
     seed: ClusterManager,
     db_tokens,
@@ -114,21 +136,37 @@ def match_series(
     for v in db_values:
         mgr.add_data_point(v)
 
-    slen = len(db_values)
-    matches: list[tuple[int, int, int]] = []
-    for ws, _cid, inds in mgr.timeline():
-        if ws < min_match_window:
-            continue
-        has_q = any(i < qlen for i in inds)
-        has_db = any(i >= qlen for i in inds)
-        if not (has_q and has_db):
-            continue
-        q_indices = sorted(i for i in inds if i < qlen and i + ws <= qlen)
-        db_indices = sorted(i - qlen for i in inds if i >= qlen and (i - qlen) + ws <= slen)
-        if q_indices and db_indices:
-            for qi in q_indices:
-                for dbi in db_indices:
-                    matches.append((qi, dbi, ws))
+    kept = filter_contained_matches(
+        _extract_cross_matches(mgr, qlen, len(db_values), min_match_window)
+    )
+    return kept, match_score(kept)
 
+
+def match_series_rollback(
+    seed: ClusterManager,
+    db_tokens,
+    min_match_window: int = DEFAULT_QUERY_MIN_MATCH_WINDOW,
+):
+    """``match_series`` against a REUSABLE seed: the whole DB append runs
+    inside one journal transaction (the W3 simulate/rollback machinery,
+    reference ...:797-891) and is rolled back afterwards, leaving the
+    seed bit-identical — so a batch worker unpickles the broadcast seed
+    once and amortises it across every document in the batch instead of
+    deserialising per doc.
+
+    Exactness: the rollback journal undoes every mutation add_data_point
+    makes (data push, si/rep edits, cluster creates, cache writes), and
+    query seeds use ``range_fixed`` scaling so value_width is untouched
+    by appends — verified equivalent to the fresh-copy path in
+    tests/test_equivalences.py."""
+    qlen = len(seed.data_view())
+    db_values = [float(int(v)) for v in db_tokens]
+    seed._start_transaction()
+    try:
+        for v in db_values:
+            seed.add_data_point(v)
+        matches = _extract_cross_matches(seed, qlen, len(db_values), min_match_window)
+    finally:
+        seed._rollback()
     kept = filter_contained_matches(matches)
     return kept, match_score(kept)

@@ -37,7 +37,12 @@ from ..config import (
     UNIT_MIN,
 )
 from .manager import ClusterManager, ClusterNode, seq_sum
-from .polyset import average_sequences, min_avg_distance, ordered_vector_distance01
+from .polyset import (
+    average_sequences,
+    min_avg_distance,
+    ordered_vector_distance01,
+    streamwise_surface_average,
+)
 
 __all__ = ["PolyClusterManager"]
 
@@ -66,6 +71,8 @@ class PolyClusterManager(ClusterManager):
         max_set_size: int = 4,
         point_distance_mode: str = "set",
         point_axis_ranges=(),
+        use_streamwise_surface_average: bool = False,
+        stream_axis_offset: float = 0.0,
     ):
         sets = [[float(v) for v in s] for s in data]
         n = len(sets)
@@ -79,6 +86,10 @@ class PolyClusterManager(ClusterManager):
         self.max_set_size = max(int(max_set_size), 1)
         self.point_distance_mode = point_distance_mode
         self.point_axis_ranges = [float(r) for r in point_axis_ranges]
+        # forced-global polyphonic streams: representatives average by
+        # decoded stream slot (reference ...pcm.jl:343-389)
+        self.use_streamwise_surface_average = bool(use_streamwise_surface_average)
+        self.stream_axis_offset = float(stream_axis_offset)
 
         if scale_mode == "range_fixed":
             vmin, vmax = float(range_min), float(range_max)
@@ -180,6 +191,10 @@ class PolyClusterManager(ClusterManager):
         if len(starts) == 1:
             return _copy_seq(self._window(starts[0], length))
         seqs = [self._window(s, length) for s in starts]
+        if self.use_streamwise_surface_average:
+            return streamwise_surface_average(
+                seqs, self.value_min, self.stream_axis_offset, self.max_set_size
+            )
         return average_sequences(
             seqs, ordered_vector=self.point_distance_mode == "ordered_vector"
         )

@@ -1,15 +1,18 @@
-"""Distributed complexity-guided generation.
+"""Distributed complexity-guided generation (scalar + polyphonic).
 
 The reference serves one generation request at a time over HTTP
-(/root/reference/src/controllers/time_series_controller.jl:2251-2331);
-each request is inherently serial step-to-step but requests are
-independent, so the Spark shape is a requests DataFrame →
-``mapInPandas(generate)``: 10k generation requests fan out across
-executors with no shuffle and no driver-side loop.
+(/root/reference/src/controllers/time_series_controller.jl:2251-2331
+scalar, :2761-4600 polyphonic); each request is inherently serial
+step-to-step but requests are independent, so the Spark shape is a
+requests DataFrame → ``mapInPandas(generate)``: 10k generation
+requests fan out across executors with no shuffle and no driver-side
+loop.  Polyphonic payloads travel as JSON strings (one column) so the
+arbitrarily-nested request surface needs no Spark schema.
 """
 
 from __future__ import annotations
 
+import json
 from typing import Iterator
 
 import pandas as pd
@@ -17,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ._util import ensure_min_partitions
 
-__all__ = ["requests_df", "generate_tokens_distributed"]
+__all__ = [
+    "requests_df",
+    "generate_tokens_distributed",
+    "generate_polyphonic_distributed",
+]
 
 REQUEST_SCHEMA = (
     "request string, first_elements array<int>, complexity_targets array<double>, "
@@ -80,3 +87,61 @@ def generate_tokens_distributed(spark_or_df, requests=None) -> DataFrame:
             yield pd.DataFrame({"request": names, "series": series})
 
     return ensure_min_partitions(df).mapInPandas(run, RESULT_SCHEMA)
+
+
+POLY_RESULT_SCHEMA = (
+    "request string, step int, stream int, notes array<int>, vol double, "
+    "brightness double, noise double, harmonicity double, attack double, "
+    "decay_sustain double, release double, chord_range int, density double, "
+    "sustain double, legato double, generated boolean"
+)
+
+
+def generate_polyphonic_distributed(spark: SparkSession, requests) -> DataFrame:
+    """(name, payload_dict) requests → one row per (step, stream).
+
+    Each executor task runs the full per-request orchestration
+    (kernel.polygen.generate_polyphonic); rows carry the strict 12-field
+    stream record flattened to typed columns plus a ``generated`` flag
+    separating the echoed initial context from generated steps."""
+    rows = [(str(name), json.dumps(payload)) for name, payload in requests]
+    df = spark.createDataFrame(rows, "request string, payload string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.polygen import generate_polyphonic
+
+        cols = [
+            "request", "step", "stream", "notes", "vol", "brightness", "noise",
+            "harmonicity", "attack", "decay_sustain", "release", "chord_range",
+            "density", "sustain", "legato", "generated",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for name, payload in zip(pdf["request"], pdf["payload"]):
+                res = generate_polyphonic(json.loads(payload))
+                base = res["initial_context_steps"]
+                for step_idx, step in enumerate(res["results"]):
+                    for s_idx, st in enumerate(step):
+                        out["request"].append(name)
+                        out["step"].append(step_idx)
+                        out["stream"].append(s_idx)
+                        out["notes"].append([int(v) for v in st[0]])
+                        out["vol"].append(float(st[1]))
+                        out["brightness"].append(float(st[2]))
+                        out["noise"].append(float(st[3]))
+                        out["harmonicity"].append(float(st[4]))
+                        out["attack"].append(float(st[5]))
+                        out["decay_sustain"].append(float(st[6]))
+                        out["release"].append(float(st[7]))
+                        out["chord_range"].append(int(st[8]))
+                        out["density"].append(float(st[9]))
+                        out["sustain"].append(float(st[10]))
+                        out["legato"].append(float(st[11]))
+                        out["generated"].append(step_idx >= base)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["step"] = pdf_out["step"].astype("int32")
+            pdf_out["stream"] = pdf_out["stream"].astype("int32")
+            pdf_out["chord_range"] = pdf_out["chord_range"].astype("int32")
+            yield pdf_out
+
+    return ensure_min_partitions(df).mapInPandas(run, POLY_RESULT_SCHEMA)

@@ -51,7 +51,7 @@ def query_matches(
     """All (doc_id, q_start, db_start, window_size) matches of the query
     against every corpus series (containment-filtered, per reference
     semantics ...:2005-2040)."""
-    from ..kernel.matching import build_query_seed, match_series
+    from ..kernel.matching import build_query_seed, match_series_rollback
 
     from .clustering import auto_balance
 
@@ -62,15 +62,15 @@ def query_matches(
     src = auto_balance(tokens_df).select("doc_id", "tokens")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seed_bytes = bc.value
+        # ONE unpickle per worker; per-doc state reset is the journal
+        # rollback (bit-identical to a fresh copy, no per-doc deserialise)
+        local_seed = pickle.loads(bc.value)
         for pdf in batches:
             out = {"doc_id": [], "q_start": [], "db_start": [], "window_size": []}
             for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
                 if len(toks) == 0:
                     continue
-                # fresh seed state per doc (pickle round-trip = deepcopy)
-                local_seed = pickle.loads(seed_bytes)
-                kept, _score = match_series(local_seed, toks, mmw, copy_seed=False)
+                kept, _score = match_series_rollback(local_seed, toks, mmw)
                 for qs, ds, ws in kept:
                     out["doc_id"].append(doc_id)
                     out["q_start"].append(qs)

@@ -9,10 +9,12 @@ inside a bucket, turning the O(N·Q) scan into an equi-join.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cosine_scores",
     "cosine_topk",
     "hyperplane_buckets",
     "ann_topk_lsh",
@@ -41,13 +43,35 @@ def _norm(a) -> F.Column:
     )
 
 
+def cosine_scores(
+    emb: DataFrame, query_vec: list[float], out_col: str = "cosine"
+) -> DataFrame:
+    """Cosine similarity to a literal query vector, Arrow-batched numpy.
+
+    Spark's array higher-order functions are interpreted per element
+    (measured in BASELINE.md), so the exact scorer is a vectorized
+    pandas_udf: one ``m @ q`` per Arrow batch — the per-row cost is a
+    C-loop multiply-add, not 64 interpreted expression nodes."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @F.pandas_udf("double")
+    def _score(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.array([np.asarray(v, dtype=np.float64) for v in s])
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return emb.withColumn(out_col, F.round(_score("embedding"), 6))
+
+
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
     """Exact top-k by cosine similarity to a literal query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
-    score = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * F.lit(qn))
     return (
-        emb.select("vec_id", F.round(score, 6).alias("cosine"))
+        cosine_scores(emb, query_vec)
+        .select("vec_id", "cosine")
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
     )

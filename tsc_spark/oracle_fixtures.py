@@ -35,6 +35,71 @@ GENERATE_REQUESTS = [
     ("alt", [5, 7, 5], [0.1, 0.9], 0.3, 0, 24),
 ]
 
+# canonical polyphonic requests: the reference warmup payload
+# (config/warmup_actions.json:66-140) plus a multi-stream request that
+# exercises fork/lifecycle, chord_range search and register windows
+GENERATE_POLY_REQUESTS = [
+    (
+        "warmup",
+        {
+            "bpm": 480,
+            "future_bpm": [480],
+            "initial_context_bpm": [480],
+            "initial_context": [[[[60], 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]]],
+            "stream_counts": [1],
+            "stream_strength_target": [0.5],
+            "stream_strength_spread": [0.2],
+            "dissonance_target": [0.3],
+            "vol_global": [0.5],
+            "vol_center": [0.5],
+            "vol_spread": [0.2],
+            "vol_conc": [0.5],
+            "vol_target": [0.5],
+            "vol_target_spread": [1.0],
+            "area_global": [0.5],
+            "area_center": [0.5],
+            "area_spread": [0.2],
+            "area_conc": [0.5],
+            "note_register_freedom": [1.0],
+            "merge_threshold_ratio": 0.02,
+        },
+    ),
+    (
+        "duo",
+        {
+            "bpm": 240,
+            "initial_context": [
+                [[[60, 64], 1.0, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]],
+                [[[62, 65], 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]],
+            ],
+            "stream_counts": [1, 2, 2],
+            "stream_strength_target": [0.5, 0.6, 0.6],
+            "stream_strength_spread": [0.0, 0.4, 0.4],
+            "dimension_policy": {
+                "area": {"accept_params": True},
+                "chord_range": {"accept_params": True},
+            },
+            "dissonance_target": [0.4, 0.6, 0.2],
+            "vol_global": [0.5],
+            "vol_center": [0.6],
+            "vol_spread": [0.3],
+            "area_global": [0.5],
+            "area_center": [0.5],
+            "area_spread": [0.3],
+            "area_conc": [-0.3],
+            "chord_range_global": [0.5],
+            "chord_range_center": [0.4],
+            "chord_range_target": [2.0],
+            "chord_range_target_spread": [2.0],
+            "note_register_freedom": [0.5],
+            "legato": [0.0, 0.5, 1.0],
+            "recency_center": [0.2],
+            "recency_spread": [0.2],
+            "merge_threshold_ratio": 0.02,
+        },
+    ),
+]
+
 
 def oracle_sf_dir() -> str:
     return os.environ.get("TSC_ORACLE_SF_DIR", DEFAULT_ORACLE_SF_DIR)
@@ -196,6 +261,37 @@ def _fx_generate(sf_dir: str):
     return ["request", "series"], rows
 
 
+def _fx_generate_poly(sf_dir: str):
+    """Twin of q_generate_poly: run the polyphonic orchestrator on the
+    canonical requests (no sf dependence) and flatten stream records."""
+    from .kernel.polygen import generate_polyphonic
+
+    rows = []
+    for name, payload in GENERATE_POLY_REQUESTS:
+        res = generate_polyphonic(payload)
+        base = res["initial_context_steps"]
+        for step_idx, step in enumerate(res["results"]):
+            for s_idx, st in enumerate(step):
+                rows.append(
+                    (
+                        name,
+                        step_idx,
+                        s_idx,
+                        _csv(st[0]),
+                        float(st[1]), float(st[2]), float(st[3]), float(st[4]),
+                        float(st[5]), float(st[6]), float(st[7]),
+                        int(st[8]),
+                        float(st[9]), float(st[10]), float(st[11]),
+                        step_idx >= base,
+                    )
+                )
+    return [
+        "request", "step", "stream", "notes", "vol", "brightness", "noise",
+        "harmonicity", "attack", "decay_sustain", "release", "chord_range",
+        "density", "sustain", "legato", "generated",
+    ], rows
+
+
 def _fx_image_features(sf_dir: str):
     """Twin of q_image_features: media_from_documents → fake decode →
     8-dim features, rendered with the shared double formatter."""
@@ -239,26 +335,43 @@ FIXTURE_BUILDERS = {
     "match_scores": _fx_match_scores,
     "note_vol_matches": _fx_note_vol_matches,
     "generate": _fx_generate,
+    "generate_poly": _fx_generate_poly,
     "image_features": _fx_image_features,
 }
 
 # int columns are rendered as BIGINT casts so the driver-side pandas
-# dtype matches Spark's long projections
-_INT_COLS = {"window_size", "q_start", "db_start"}
+# dtype matches Spark's long projections; doubles/bools likewise
+_INT_COLS = {"window_size", "q_start", "db_start", "step", "stream", "chord_range"}
+_DOUBLE_COLS = {
+    "vol", "brightness", "noise", "harmonicity", "attack", "decay_sustain",
+    "release", "density", "sustain", "legato",
+}
+_BOOL_COLS = {"generated"}
 
 
 def _sql_literal(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)
     return str(v)
+
+
+def _col_cast(c: str) -> str:
+    if c in _INT_COLS:
+        return f"CAST({c} AS BIGINT) AS {c}"
+    if c in _DOUBLE_COLS:
+        return f"CAST({c} AS DOUBLE) AS {c}"
+    if c in _BOOL_COLS:
+        return f"CAST({c} AS BOOLEAN) AS {c}"
+    return f"CAST({c} AS VARCHAR) AS {c}"
 
 
 def build_fixture_sql(name: str, sf_dir: str) -> str:
     cols, rows = FIXTURE_BUILDERS[name](sf_dir)
-    proj = ", ".join(
-        f"CAST({c} AS BIGINT) AS {c}" if c in _INT_COLS else f"CAST({c} AS VARCHAR) AS {c}"
-        for c in cols
-    )
+    proj = ", ".join(_col_cast(c) for c in cols)
     if not rows:
         return f"SELECT {proj} FROM (VALUES ({', '.join(['NULL'] * len(cols))})) AS t({', '.join(cols)}) WHERE FALSE"
     values = ",\n".join("(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in rows)

@@ -946,6 +946,130 @@ SELECT doc_id,
 FROM freqs"""
 
 
+def q_chord_roughness(spark, sf_dir):
+    """Full harmonic-stack chord roughness (A16/F10/F11 surface) over a
+    chords view: first 3 tokens lifted to MIDI, vol 1."""
+    from tsc_spark.functions.roughness import chord_roughness
+
+    t = _tokens(spark, sf_dir)
+    chords = t.select(
+        "doc_id",
+        F.transform(F.slice("tokens", 1, 3), lambda x: (x + F.lit(48)).cast("int")).alias(
+            "notes"
+        ),
+        F.lit(1.0).alias("vol"),
+    )
+    return chord_roughness(chords)
+
+
+SQL_CHORD_ROUGHNESS = f"""WITH {SQL_TOKENS},
+chords AS (
+  SELECT doc_id, list_transform(tokens[1:3], x -> x + 48) AS notes FROM tokens
+),
+parts AS (
+  SELECT doc_id,
+         440.0 * pow(2.0, (CAST(note AS DOUBLE) - 69.0) / 12.0) * p AS f,
+         (1.0 / len(notes)) * pow(0.88, p) AS a
+  FROM chords, unnest(notes) AS t(note), unnest(generate_series(1, 8)) AS g(p)
+  WHERE len(notes) >= 2 AND (1.0 / len(notes)) > 1e-6
+    AND (1.0 / len(notes)) * pow(0.88, p) >= 1e-6
+),
+pair_sums AS (
+  SELECT a.doc_id,
+         SUM((a.a * b.a) * (
+           exp(-3.5 * ((0.24 / (0.0207 * a.f + 18.96)) * (b.f - a.f)))
+           - exp(-5.75 * ((0.24 / (0.0207 * a.f + 18.96)) * (b.f - a.f)))
+         )) AS raw
+  FROM parts a JOIN parts b ON a.doc_id = b.doc_id AND a.f < b.f
+  GROUP BY 1
+)
+SELECT c.doc_id, round(COALESCE(raw, 0.0), 6) AS roughness,
+       CAST(len(notes) AS BIGINT) AS n_notes
+FROM chords c LEFT JOIN pair_sums p ON c.doc_id = p.doc_id"""
+
+
+def q_normalize_combine(spark, sf_dir):
+    """End-to-end F5+F6: reliability-weighted combined complexity score
+    per rollup window (reference controller:2095-2156)."""
+    from tsc_spark.operators.rollup import combined_window_scores, tiered_rollups
+
+    t1 = tiered_rollups(_tokens(spark, sf_dir), with_gapfill=False)[1]
+    return combined_window_scores(t1)
+
+
+SQL_NORMALIZE_COMBINE = f"""WITH {SQL_TOKENS}, {SQL_POINTS},
+agg AS (
+  SELECT doc_id, (point_index // 8) AS window_idx,
+         CAST(COUNT(token) AS DOUBLE) AS agg_count,
+         CAST(MIN(token) AS DOUBLE) AS agg_min,
+         CAST(MAX(token) AS DOUBLE) AS agg_max,
+         CAST(SUM(token) AS DOUBLE) AS agg_sum
+  FROM points GROUP BY 1, 2
+),
+st AS (
+  SELECT *,
+         MIN(agg_sum) OVER w AS d_min, MAX(agg_sum) OVER w AS d_max,
+         COUNT(DISTINCT agg_sum) OVER w AS d_n,
+         MIN(agg_count) OVER w AS q_min, MAX(agg_count) OVER w AS q_max,
+         COUNT(DISTINCT agg_count) OVER w AS q_n,
+         MIN(agg_max) OVER w AS c_min, MAX(agg_max) OVER w AS c_max,
+         COUNT(DISTINCT agg_max) OVER w AS c_n,
+         MIN(agg_min) OVER w AS u_min, MAX(agg_min) OVER w AS u_max,
+         COUNT(DISTINCT agg_min) OVER w AS u_n
+  FROM agg WINDOW w AS (PARTITION BY doc_id)
+),
+scored AS (
+  SELECT doc_id, window_idx,
+    (CASE WHEN d_max > d_min THEN (agg_sum - d_min) / (d_max - d_min) ELSE 0.5 END)
+      * (CASE WHEN d_n <= 1 THEN 0.0 WHEN d_n = 2 THEN 0.2 ELSE 1.0 END) AS d_s,
+    (1.0 - CASE WHEN q_max > q_min THEN (agg_count - q_min) / (q_max - q_min) ELSE 0.5 END)
+      * (CASE WHEN q_n <= 1 THEN 0.0 WHEN q_n = 2 THEN 0.2 ELSE 1.0 END) AS q_s,
+    (CASE WHEN c_max > c_min THEN (agg_max - c_min) / (c_max - c_min) ELSE 0.5 END)
+      * (CASE WHEN c_n <= 1 THEN 0.0 WHEN c_n = 2 THEN 0.2 ELSE 1.0 END) AS c_s,
+    (1.0 - CASE WHEN u_max > u_min THEN (agg_min - u_min) / (u_max - u_min) ELSE 0.5 END)
+      * (CASE WHEN u_n <= 1 THEN 0.0 WHEN u_n = 2 THEN 0.2 ELSE 1.0 END) AS u_s,
+    (CASE WHEN d_n <= 1 THEN 0.0 WHEN d_n = 2 THEN 0.2 ELSE 1.0 END)
+      + (CASE WHEN q_n <= 1 THEN 0.0 WHEN q_n = 2 THEN 0.2 ELSE 1.0 END)
+      + (CASE WHEN c_n <= 1 THEN 0.0 WHEN c_n = 2 THEN 0.2 ELSE 1.0 END)
+      + (CASE WHEN u_n <= 1 THEN 0.0 WHEN u_n = 2 THEN 0.2 ELSE 1.0 END) AS denom
+  FROM st
+)
+SELECT doc_id, window_idx,
+       round(CASE WHEN denom > 0.0 THEN (d_s + q_s + c_s + u_s) / denom ELSE 0.0 END, 6)
+         AS combined_score
+FROM scored"""
+
+
+def q_stm_interference(spark, sf_dir):
+    """STM roughness trace (A13/A17/W5): dyad events per doc replayed
+    through the short-term-memory dissonance manager."""
+    from tsc_spark.operators.matching import stm_interference_events
+
+    return stm_interference_events(_tokens(spark, sf_dir)).select(
+        "doc_id",
+        F.col("step").cast("long").alias("step"),
+        "d_current",
+        "interference",
+    )
+
+
+def q_near_dup_embeddings(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-bucketed self-join + exact
+    verify.  Threshold 0.3 — the synthetic corpus has no true near-dups
+    (max pairwise cosine ≈ 0.51), so the gate is lowered to exercise the
+    bucket-join + verify path end-to-end."""
+    from tsc_spark.operators.similarity import near_dup_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return near_dup_embeddings(
+        emb.filter(F.col("vec_id") != 0), dim=64, threshold=0.3
+    ).select(
+        F.col("vec_a").cast("long").alias("vec_a"),
+        F.col("vec_b").cast("long").alias("vec_b"),
+        "cosine",
+    )
+
+
 def q_media_stats(spark, sf_dir):
     from tsc_spark.operators.multimodal import media_from_documents, media_stats
 
@@ -1251,6 +1375,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_matches": q_window_matches,
         "octave_matches": q_octave_matches,
         "codec_roundtrip": q_codec_roundtrip,
+        "chord_roughness": q_chord_roughness,
+        "normalize_combine": q_normalize_combine,
+        "stm_interference": q_stm_interference,
+        "near_dup_embeddings": q_near_dup_embeddings,
         "media_stats": q_media_stats,
         "video_frames": q_video_frames,
         "image_features": q_image_features,
@@ -1320,6 +1448,8 @@ def _static_oracle_sql() -> dict[str, str]:
         "window_matches": SQL_WINDOW_MATCHES,
         "octave_matches": SQL_OCTAVE_MATCHES,
         "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
+        "chord_roughness": SQL_CHORD_ROUGHNESS,
+        "normalize_combine": SQL_NORMALIZE_COMBINE,
         "media_stats": SQL_MEDIA,
         "video_frames": SQL_VIDEO_FRAMES,
         "adjacent_roughness": SQL_ROUGHNESS,

@@ -82,6 +82,10 @@ BENCH_QUERY_NAMES = [
     "lsh_dedup_pairs",
     "ann_topk_ivf",
     "retention_sweep",
+    "chord_roughness",
+    "normalize_combine",
+    "near_dup_embeddings",
+    "generate_poly",
 ]
 
 

@@ -119,3 +119,31 @@ def test_match_series_rollback_reusable_across_docs():
     for _doc_id, toks, _src in synth_tokens(24, include_edges=True):
         expected = match_series(pickle.loads(seed_bytes), toks, copy_seed=False)
         assert match_series_rollback(seed, toks) == expected
+
+
+def test_window_matches_cap_bounds_degenerate_docs(spark):
+    """A constant-token doc makes every window identical; the per-key
+    position cap bounds the pair expansion while leaving normal docs
+    untouched (operators.matching.exact_window_matches skew guard)."""
+    from pyspark.sql import functions as F
+
+    from tsc_spark.operators.matching import exact_window_matches
+
+    df = spark.createDataFrame(
+        [("const", [3] * 40), ("normal", [0, 1, 2, 0, 1, 2, 5, 7])],
+        "doc_id string, tokens array<int>",
+    )
+    exact = exact_window_matches(df, window_sizes=(3,))
+    capped = exact_window_matches(df, window_sizes=(3,), max_positions_per_key=8)
+
+    n_exact = {r["doc_id"]: r["n"] for r in exact.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    n_capped = {r["doc_id"]: r["n"] for r in capped.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    # constant doc: 38 identical windows -> C(38,2)=703 exact, C(8,2)=28 capped
+    assert n_exact["const"] == 703
+    assert n_capped["const"] == 28
+    # normal doc unaffected by the cap
+    assert n_exact["normal"] == n_capped["normal"]
+    norm_rows = lambda d: sorted(
+        (r.q_start, r.db_start) for r in d.filter(F.col("doc_id") == "normal").collect()
+    )
+    assert norm_rows(exact) == norm_rows(capped)

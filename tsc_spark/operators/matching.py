@@ -34,6 +34,7 @@ __all__ = [
     "note_vol_query_matches",
     "octave_invariant_matches",
     "filter_contained_relational",
+    "stm_interference_events",
 ]
 
 MATCH_SCHEMA = "doc_id string, q_start int, db_start int, window_size int"
@@ -111,14 +112,24 @@ def match_scores(matches: DataFrame) -> DataFrame:
     )
 
 
-def exact_window_matches(tokens_df: DataFrame, window_sizes=(3, 4)) -> DataFrame:
+def exact_window_matches(
+    tokens_df: DataFrame,
+    window_sizes=(3, 4),
+    max_positions_per_key: int | None = None,
+) -> DataFrame:
     """Within-doc exact window self-matches: positions (i, j), i<j, where
     tokens[i:i+ws] == tokens[j:j+ws].
 
     Relational re-expression of the reference's cross-product match
-    expansion (...:188-199): explode windows as join keys, equi-join on
-    (doc_id, window) — an inverted index, never a positional cross
-    product."""
+    expansion (...:188-199) as a pre-aggregated inverted index: group
+    positions per (doc_id, window key) in ONE shuffle, then expand the
+    i<j pairs inside the position array — no self-join, and the pair
+    expansion is bounded per key.  ``max_positions_per_key`` is the
+    adversarial-skew guard: a degenerate doc (e.g. constant tokens)
+    makes every window identical and the per-key pair count quadratic
+    in doc length; capping keeps the first N positions (earliest
+    matches, the reference's scan order) so one poisoned doc cannot
+    blow up the stage.  Default None = exact."""
     outs = []
     for ws in window_sizes:
         words = F.col("tokens")
@@ -132,14 +143,28 @@ def exact_window_matches(tokens_df: DataFrame, window_sizes=(3, 4)) -> DataFrame
         sh = tokens_df.select(
             "doc_id", F.posexplode(win).alias("pos", "win")
         )
+        ps = F.sort_array(F.collect_list("pos"))
+        grouped = sh.groupBy("doc_id", "win").agg(ps.alias("ps"))
+        if max_positions_per_key is not None:
+            grouped = grouped.withColumn(
+                "ps", F.slice("ps", 1, int(max_positions_per_key))
+            )
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ps"),
+                lambda p, i: F.transform(
+                    F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                    lambda q: F.struct(p.alias("q"), q.alias("d")),
+                ),
+            )
+        )
         pairs = (
-            sh.alias("a")
-            .join(sh.alias("b"), ["doc_id", "win"])
-            .filter(F.col("a.pos") < F.col("b.pos"))
+            grouped.filter(F.size("ps") >= 2)
+            .select("doc_id", F.explode(pair_structs).alias("pq"))
             .select(
                 "doc_id",
-                F.col("a.pos").alias("q_start"),
-                F.col("b.pos").alias("db_start"),
+                F.col("pq.q").alias("q_start"),
+                F.col("pq.d").alias("db_start"),
                 F.lit(ws).alias("window_size"),
             )
         )
@@ -228,6 +253,62 @@ def octave_invariant_matches(tokens_df: DataFrame, window_size: int = 4) -> Data
             F.col("b.pos").alias("db_start"),
             F.lit(window_size).alias("window_size"),
         )
+    )
+
+
+def stm_interference_events(
+    tokens_df: DataFrame,
+    max_events: int = 4,
+    step_seconds: float = 0.25,
+    midi_offset: int = 48,
+) -> DataFrame:
+    """Short-term-memory roughness trace per doc (A13/A17 surface).
+
+    Derives a deterministic event stream from each token series — event
+    k = the dyad (tokens[2k], tokens[2k+1]) lifted to MIDI at onset
+    k·step_seconds — and replays it through the STM manager (reference
+    dissonance_stm_manager.jl:51-64: evaluate = current + exponentially
+    decayed interference, then commit).  Shuffle-free mapInPandas; per
+    doc the cost is max_events² dissonance evaluations."""
+    from ..kernel.dissonance import StmManager
+
+    from .clustering import auto_balance
+
+    me = int(max_events)
+    step = float(step_seconds)
+    off = int(midi_offset)
+
+    src = auto_balance(tokens_df).select("doc_id", "tokens")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "step": [], "d_current": [], "interference": []}
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                n_events = min(len(toks) // 2, me)
+                if n_events == 0:
+                    continue
+                stm = StmManager()
+                for k in range(n_events):
+                    notes = [int(toks[2 * k]) + off, int(toks[2 * k + 1]) + off]
+                    amps = [0.5, 0.5]
+                    onset = k * step
+                    d_cur, interf = stm.evaluate(notes, amps, onset)
+                    stm.commit(notes, amps, onset)
+                    out["doc_id"].append(doc_id)
+                    out["step"].append(k)
+                    out["d_current"].append(round(d_cur, 6))
+                    out["interference"].append(round(interf, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "step": pd.Series(out["step"], dtype="int32"),
+                    "d_current": pd.Series(out["d_current"], dtype="float64"),
+                    "interference": pd.Series(out["interference"], dtype="float64"),
+                }
+            )
+
+    return src.mapInPandas(
+        run, "doc_id string, step int, d_current double, interference double"
     )
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "gapfill_locf",
     "contextual_width",
     "normalize_window_scores",
+    "combined_window_scores",
     "series_stats",
 ]
 
@@ -386,6 +387,47 @@ def normalize_window_scores(rollup_df: DataFrame) -> DataFrame:
         "window_idx",
         F.round(norm, 6).alias("norm_score"),
         reliability.alias("reliability"),
+    )
+
+
+def combined_window_scores(rollup_df: DataFrame) -> DataFrame:
+    """normalize_scores + combine_complexity_metric_scores, relationally.
+
+    The generation scorer's full pipeline (reference controller
+    :2095-2156) over rollup windows: four per-doc min-max-normalized
+    metrics — sum (complex when larger), count (smaller), max (larger),
+    min (smaller) — each weighted by the unique-count reliability
+    (0 / 0.2 / 1), combined as the reliability-weighted mean with unit
+    metric weights.  Mirrors kernel.scoring exactly; all-native window
+    functions (one shuffle on doc_id)."""
+    w = Window.partitionBy("doc_id")
+
+    def metric(col, larger: bool):
+        c = F.col(col).cast("double")
+        vmin = F.min(c).over(w)
+        vmax = F.max(c).over(w)
+        nuniq = F.size(F.collect_set(c).over(w))
+        norm = F.when(vmax > vmin, (c - vmin) / (vmax - vmin)).otherwise(F.lit(0.5))
+        directed = norm if larger else (F.lit(1.0) - norm)
+        rel = (
+            F.when(nuniq <= 1, F.lit(0.0))
+            .when(nuniq == 2, F.lit(0.2))
+            .otherwise(F.lit(1.0))
+        )
+        return directed * rel, rel
+
+    d_score, d_rel = metric("agg_sum", True)
+    q_score, q_rel = metric("agg_count", False)
+    c_score, c_rel = metric("agg_max", True)
+    u_score, u_rel = metric("agg_min", False)
+    denom = d_rel + q_rel + c_rel + u_rel
+    combined = F.when(
+        denom > 0.0, (d_score + q_score + c_score + u_score) / denom
+    ).otherwise(F.lit(0.0))
+    return rollup_df.select(
+        "doc_id",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        F.round(combined, 6).alias("combined_score"),
     )
 
 

@@ -292,6 +292,27 @@ def _fx_generate_poly(sf_dir: str):
     ], rows
 
 
+def _fx_stm_interference(sf_dir: str):
+    """Twin of q_stm_interference: replay dyad events through the STM
+    manager in pure Python."""
+    from .kernel.dissonance import StmManager
+
+    rows = []
+    for doc_id, toks in load_token_series(sf_dir):
+        n_events = min(len(toks) // 2, 4)
+        if n_events == 0:
+            continue
+        stm = StmManager()
+        for k in range(n_events):
+            notes = [int(toks[2 * k]) + 48, int(toks[2 * k + 1]) + 48]
+            amps = [0.5, 0.5]
+            onset = k * 0.25
+            d_cur, interf = stm.evaluate(notes, amps, onset)
+            stm.commit(notes, amps, onset)
+            rows.append((doc_id, k, round(d_cur, 6), round(interf, 6)))
+    return ["doc_id", "step", "d_current", "interference"], rows
+
+
 def _fx_image_features(sf_dir: str):
     """Twin of q_image_features: media_from_documents → fake decode →
     8-dim features, rendered with the shared double formatter."""
@@ -336,6 +357,7 @@ FIXTURE_BUILDERS = {
     "note_vol_matches": _fx_note_vol_matches,
     "generate": _fx_generate,
     "generate_poly": _fx_generate_poly,
+    "stm_interference": _fx_stm_interference,
     "image_features": _fx_image_features,
 }
 
@@ -344,7 +366,7 @@ FIXTURE_BUILDERS = {
 _INT_COLS = {"window_size", "q_start", "db_start", "step", "stream", "chord_range"}
 _DOUBLE_COLS = {
     "vol", "brightness", "noise", "harmonicity", "attack", "decay_sustain",
-    "release", "density", "sustain", "legato",
+    "release", "density", "sustain", "legato", "d_current", "interference",
 }
 _BOOL_COLS = {"generated"}
 
@@ -474,6 +496,31 @@ cand AS (
     qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
     probes = np.argsort(-(cents @ qn))[:4].tolist()
     sims = "[" + ", ".join(_dot_sql("embedding", cents[c]) for c in range(cents.shape[0])) + "]"
+    # --- embedding near-dups (twin of similarity.near_dup_embeddings) ---
+    out["near_dup_embeddings"] = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         {_bucket_sql("embedding", planes)} AS bucket
+  FROM embeddings WHERE vec_id != 0
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.emb AS ea, b.emb AS eb
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         round(
+           (SELECT SUM(ea[i] * eb[i])
+            FROM unnest(generate_series(1, len(ea))) AS t(i))
+           / (sqrt((SELECT SUM(ea[i] * ea[i])
+                    FROM unnest(generate_series(1, len(ea))) AS t(i)))
+              * sqrt((SELECT SUM(eb[i] * eb[i])
+                      FROM unnest(generate_series(1, len(eb))) AS t(i)))),
+           6) AS cosine
+  FROM pairs
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.3"""
+
     out["ann_topk_ivf"] = f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
 assigned AS (

@@ -198,3 +198,34 @@ class TestStreamPool:
         assert all(a >= b - 1e-12 for a, b in zip(after, before))
         for c in pool.stream_pool:
             assert c.last_value == [1.0]
+
+
+class TestFixedValueSource:
+    def test_last_step_source_carries_context_value(self):
+        # vol fixed from the initial context's last step instead of the
+        # manual fixed value (reference _resolved_fixed_value_for_stream)
+        p = copy.deepcopy(WARMUP)
+        p["initial_context"] = [[[[60], 0.7, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]]]
+        p["dimension_policy"] = {
+            "vol": {"accept_params": False, "fixed_value_source": "initial_context_last_step"}
+        }
+        out = generate_polyphonic(p)
+        assert out["results"][1][0][1] == 0.7
+
+    def test_area_last_step_source_tracks_context_anchor(self):
+        # area fixed from the context anchor's band instead of band 76
+        p = copy.deepcopy(WARMUP)
+        p["initial_context"] = [[[[100], 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]]]
+        p["dimension_policy"] = {
+            "area": {"accept_params": False, "fixed_value_source": "initial_context_last_step"}
+        }
+        out = generate_polyphonic(p)
+        gen_note = out["results"][1][0][0][0]
+        assert 100 <= gen_note <= 103  # band_low(100)=100, cr 0, density 0
+
+    def test_manual_source_unchanged(self):
+        a = generate_polyphonic(copy.deepcopy(WARMUP))
+        p = copy.deepcopy(WARMUP)
+        p["dimension_policy"] = {"brightness": {"fixed_value_source": "manual_input"}}
+        b = generate_polyphonic(p)
+        assert a["results"] == b["results"]

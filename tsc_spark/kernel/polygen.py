@@ -377,10 +377,12 @@ def generate_polyphonic(payload: dict) -> dict:
     # -- dimension policy ---------------------------------------------
     dim_accept = {}
     dim_fixed = {}
+    dim_fixed_source = {}
     for key in MANAGED_DIMS:
         d = DEFAULT_DIM_POLICY[key]
         dim_accept[key] = bool(d["accept_params"])
         dim_fixed[key] = _norm_fixed(key, d["fixed_value"])
+        dim_fixed_source[key] = "manual_input"
     for raw_key, raw_val in (gp.get("dimension_policy") or {}).items():
         key = str(raw_key).strip().lower()
         key = {"sus": "sustain", "tie": "legato", "same_note_legato": "legato"}.get(key, key)
@@ -389,6 +391,21 @@ def generate_polyphonic(payload: dict) -> dict:
         if isinstance(raw_val, dict):
             if "accept_params" in raw_val:
                 dim_accept[key] = bool(raw_val["accept_params"])
+            src = (
+                raw_val.get("fixed_value_source")
+                or raw_val.get("fixed_source")
+                or raw_val.get("value_source")
+            )
+            if src is not None:
+                dim_fixed_source[key] = (
+                    "initial_context_last_step"
+                    if str(src).strip().lower()
+                    in (
+                        "initial_context_last_step", "initial_context",
+                        "context_last_step", "last_step", "last-step",
+                    )
+                    else "manual_input"
+                )
             if "fixed_value" in raw_val:
                 dim_fixed[key] = _norm_fixed(key, raw_val["fixed_value"])
         elif isinstance(raw_val, bool):
@@ -396,14 +413,41 @@ def generate_polyphonic(payload: dict) -> dict:
         elif raw_val is not None:
             dim_fixed[key] = _norm_fixed(key, raw_val)
 
-    def _fixed_area_band_low() -> int:
+    def _fixed_area_band_low(stream_idx: int = 0) -> int:
+        """reference _fixed_area_band_low_for_stream (...:3028-3041)."""
+        if dim_fixed_source.get("area") == "initial_context_last_step" and results:
+            last_step = results[-1]
+            if 0 <= stream_idx < len(last_step):
+                anchor = _anchor_from_abs(last_step[stream_idx][NOTE])
+                return C.area_band_low(anchor)
         v01 = _clamp01(dim_fixed["area"])
         n_bins = max((BAND_LOW_MAX - BAND_LOW_MIN) // BAND_SIZE, 0)
         idx = _clamp(int(round(v01 * n_bins)), 0, n_bins)
         return _clamp(BAND_LOW_MIN + idx * BAND_SIZE, BAND_LOW_MIN, BAND_LOW_MAX)
 
-    def _fixed_value(key: str) -> float:
-        return dim_fixed[key]
+    def _fixed_value(key: str, stream_idx: int = 0) -> float:
+        """reference _resolved_fixed_value_for_stream (...:3043-3084):
+        'initial_context_last_step' reads the value from the latest step's
+        stream record (falling back to the manual fixed value)."""
+        if dim_fixed_source.get(key) != "initial_context_last_step":
+            return dim_fixed[key]
+        if key == "area":
+            band_low = _fixed_area_band_low(stream_idx)
+            n_bins = max((BAND_LOW_MAX - BAND_LOW_MIN) // BAND_SIZE, 0)
+            if n_bins <= 0:
+                return 0.0
+            idx = _clamp((band_low - BAND_LOW_MIN) // BAND_SIZE, 0, n_bins)
+            return _clamp01(float(idx) / float(n_bins))
+        idx = _DIM_IDX.get(key, 0)
+        if idx == 0 or not results:
+            return dim_fixed[key]
+        last_step = results[-1]
+        if not (0 <= stream_idx < len(last_step)):
+            return dim_fixed[key]
+        st = last_step[stream_idx]
+        if len(st) <= idx:
+            return dim_fixed[key]
+        return _norm_fixed(key, st[idx])
 
     # -- strict-record normalization + observed cr/density ------------
     for step in results:
@@ -737,16 +781,16 @@ def generate_polyphonic(payload: dict) -> dict:
 
         current = [
             [
-                [], _clamp01(_fixed_value("vol")), _clamp01(_fixed_value("brightness")),
-                _clamp01(_fixed_value("noise")), _clamp01(_fixed_value("harmonicity")),
-                _clamp01(_fixed_value("attack")), _clamp01(_fixed_value("decay_sustain")),
-                _clamp01(_fixed_value("release")),
-                int(round(_clamp(_fixed_value("chord_range"), float(CR_MIN), float(CR_MAX)))),
-                _clamp01(_fixed_value("density")),
-                C.quantize_sustain(_fixed_value("sustain")),
+                [], _clamp01(_fixed_value("vol", s_i)), _clamp01(_fixed_value("brightness", s_i)),
+                _clamp01(_fixed_value("noise", s_i)), _clamp01(_fixed_value("harmonicity", s_i)),
+                _clamp01(_fixed_value("attack", s_i)), _clamp01(_fixed_value("decay_sustain", s_i)),
+                _clamp01(_fixed_value("release", s_i)),
+                int(round(_clamp(_fixed_value("chord_range", s_i), float(CR_MIN), float(CR_MAX)))),
+                _clamp01(_fixed_value("density", s_i)),
+                C.quantize_sustain(_fixed_value("sustain", s_i)),
                 legato_series[step_idx - 1] if step_idx - 1 < len(legato_series) else 0.0,
             ]
-            for _ in range(n_streams)
+            for s_i in range(n_streams)
         ]
         step_decisions: dict = {}
 
@@ -768,11 +812,11 @@ def generate_polyphonic(payload: dict) -> dict:
                 fixed_vals = []
                 for _s in range(n_streams):
                     if key == "chord_range":
-                        fv = float(int(round(_clamp(_fixed_value(key), float(CR_MIN), float(CR_MAX)))))
+                        fv = float(int(round(_clamp(_fixed_value(key, _s), float(CR_MIN), float(CR_MAX)))))
                     elif key == "sustain":
-                        fv = C.quantize_sustain(_fixed_value(key))
+                        fv = C.quantize_sustain(_fixed_value(key, _s))
                     else:
-                        fv = _clamp01(_fixed_value(key))
+                        fv = _clamp01(_fixed_value(key, _s))
                     fixed_vals.append(fv)
                 step_decisions[key] = fixed_vals
                 for s_i in range(n_streams):
@@ -991,7 +1035,7 @@ def generate_polyphonic(payload: dict) -> dict:
 
         chosen_area = list(area_candidates[best_idx])
         if not area_enabled:
-            chosen_area = [_fixed_area_band_low() for _ in range(n_streams)]
+            chosen_area = [_fixed_area_band_low(s_i) for s_i in range(n_streams)]
 
         enc_best = [float(chosen_area[i]) + i * area_offset for i in range(n_streams)]
         area_gl.add_data_point(enc_best)
@@ -1113,19 +1157,19 @@ def generate_polyphonic(payload: dict) -> dict:
                     )
                 elif key == "chord_range":
                     vec[CR] = (
-                        int(round(_clamp(_fixed_value(key), float(CR_MIN), float(CR_MAX))))
+                        int(round(_clamp(_fixed_value(key, s_i), float(CR_MIN), float(CR_MAX))))
                         if (not dim_accept[key] and generated)
                         else _clamp(_i(vec[CR]), CR_MIN, CR_MAX)
                     )
                 elif key == "sustain":
                     vec[SUS] = (
-                        C.quantize_sustain(_fixed_value(key))
+                        C.quantize_sustain(_fixed_value(key, s_i))
                         if (not dim_accept[key] and generated)
                         else C.quantize_sustain(vec[SUS])
                     )
                 else:
                     vec[idx] = (
-                        _clamp01(_fixed_value(key))
+                        _clamp01(_fixed_value(key, s_i))
                         if (not dim_accept[key] and generated)
                         else _clamp01(vec[idx])
                     )

@@ -105,3 +105,35 @@ class TestApplyRetention:
         apply_retention(spark, base)
         second = {t: sorted(map(tuple, read_tier(spark, base, t).collect())) for t in (0, 1)}
         assert first == second
+
+
+class TestStreamingRetention:
+    def test_stream_sweep_equals_batch_sweep(self, spark, tokens_df, tmp_path):
+        """Two ingest waves through the streaming retention path end in
+        exactly the batch sweep of the full corpus (docs are disjoint
+        across waves, so per-doc keep-last is wave-independent)."""
+        from tsc_spark.streaming.rollup_stream import run_rollup_stream_with_retention
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        half = tokens_df.limit(20)
+        rest = tokens_df.subtract(half)
+
+        half.write.mode("append").parquet(src)
+        run_rollup_stream_with_retention(spark, src, out, ckpt, tier=1, policy={1: 3})
+        rest.write.mode("append").parquet(src)
+        run_rollup_stream_with_retention(spark, src, out, ckpt, tier=1, policy={1: 3})
+
+        got = sorted(
+            (r.doc_id, r.window_idx, r.agg_count, r.agg_min, r.agg_max, r.agg_sum)
+            for r in spark.read.parquet(out).collect()
+        )
+        expected = sorted(
+            (r.doc_id, r.window_idx, r.agg_count, r.agg_min, r.agg_max, r.agg_sum)
+            for r in retention_sweep(
+                tiered_rollups(tokens_df, with_gapfill=False)[1], {1: 3}
+            ).collect()
+        )
+        assert got == expected
+        assert len(got) > 0

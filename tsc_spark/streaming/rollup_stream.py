@@ -38,6 +38,7 @@ __all__ = [
     "stream_tokens",
     "stream_rollup",
     "run_rollup_stream",
+    "run_rollup_stream_with_retention",
     "windowed_event_counts",
 ]
 
@@ -122,3 +123,53 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def run_rollup_stream_with_retention(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    tier: int = 1,
+    policy: dict[int, int] | None = None,
+) -> None:
+    """Streaming ingest → tier rollup → retention sweep per micro-batch.
+
+    The north rule's retention leg in the streaming tier: each
+    micro-batch appends its tier windows to the sink, then the TTL sweep
+    (operators.retention.retention_sweep — per-doc keep-last horizon)
+    rewrites the sink to survivors with an atomic directory swap.  At
+    cluster scale the sweep degenerates to partition drops over a
+    window-partitioned sink (see retention_plan's drop/keep/rewrite
+    split); the sandbox executor rewrites the whole tier, which is the
+    same logical result.  foreachBatch caveat: the append itself is
+    at-least-once on retries — the batch-id can be used for idempotent
+    sinks; the sweep is idempotent by construction.
+    """
+    import os
+    import shutil
+
+    from ..operators.retention import DEFAULT_RETENTION_POLICY, retention_sweep
+
+    pol = DEFAULT_RETENTION_POLICY if policy is None else policy
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        rollup_arrays(batch_df, TIER_STRIDES[tier], tier).write.mode("append").parquet(
+            out_dir
+        )
+        survivors = retention_sweep(spark.read.parquet(out_dir), pol)
+        tmp = out_dir + ".sweep_tmp"
+        survivors.write.mode("overwrite").parquet(tmp)
+        old = out_dir + ".sweep_old"
+        os.rename(out_dir, old)
+        os.rename(tmp, out_dir)
+        shutil.rmtree(old)
+
+    q = (
+        stream_tokens(spark, src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--no-resume", dest="resume", action="store_false")
     ap.add_argument("--no-timeline", dest="timeline", action="store_false", default=True)
     ap.add_argument("--no-encoded", dest="encoded", action="store_false", default=True)
+    ap.add_argument("--retention", default=None, metavar="T0,T1,T2",
+                    help="apply a TTL sweep after processing: per-tier keep-last "
+                         "window counts, e.g. 64,16,8 (operators.retention)")
     ap.add_argument("--master", default=None,
                     help="override master (default: env SPARK_GRAFT_CPUS local)")
     args = ap.parse_args()
@@ -65,6 +68,14 @@ def main() -> None:
             with_timeline=args.timeline,
             with_encoded=args.encoded,
         )
+        retention_records = []
+        if args.retention:
+            from tsc_spark.operators.retention import apply_retention
+
+            keeps = [int(v) for v in args.retention.split(",")]
+            policy = {tier: keep for tier, keep in enumerate(keeps)}
+            retention_records = apply_retention(spark, args.base_dir, policy)
+
         all_manifests = pipeline_metrics(args.base_dir)
         done_points = sum(m["points"] for m in all_manifests)
         done_secs = sum(m["wall_seconds"] for m in all_manifests)
@@ -74,6 +85,7 @@ def main() -> None:
             "points_total": done_points,
             "wall_seconds_total": round(done_secs, 3),
             "points_per_sec_aggregate": round(done_points / done_secs, 1) if done_secs else None,
+            "retention_buckets_swept": len(retention_records),
         }))
     finally:
         spark.stop()

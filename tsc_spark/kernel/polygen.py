@@ -299,8 +299,12 @@ def generate_polyphonic(payload: dict) -> dict:
     ``payload`` carries the reference's generate_polyphonic sub-hash
     keys (initial_context, stream_counts, per-dimension targets, ...).
     Returns {"results": steps, "decisions": per-step dict,
-    "stream_strengths": report}.
+    "stream_strengths": report, "processing_time_s": wall seconds
+    (reference telemetry, controller:4395 / config PROCESSING_TIME_DIGITS)}.
     """
+    import time as _time
+
+    _t0 = _time.perf_counter()
     gp = dict(payload)
 
     stream_counts_raw = gp.get("stream_counts", [])
@@ -1184,6 +1188,7 @@ def generate_polyphonic(payload: dict) -> dict:
         ),
         "bpm_series": initial_context_bpm + future_bpm,
         "initial_context_steps": base_step_index,
+        "processing_time_s": round(_time.perf_counter() - _t0, 2),
     }
 
 

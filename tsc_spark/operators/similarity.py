@@ -19,6 +19,7 @@ __all__ = [
     "hyperplane_buckets",
     "ann_topk_lsh",
     "ivf_fit_centroids",
+    "ivf_fit_centroids_distributed",
     "ivf_assign",
     "ivf_topk",
     "near_dup_embeddings",
@@ -175,7 +176,64 @@ def _kmeans_numpy(
     return cents
 
 
-def _nearest_centroid_col(cents: np.ndarray) -> F.Column:
+def ivf_fit_centroids_distributed(
+    emb: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    init_train: int = 4096,
+    seed: int = 11,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means with DISTRIBUTED Lloyd iterations.
+
+    The scale path when even the training sample shouldn't sit on the
+    driver: initialization uses a small deterministic TopK sample
+    (``init_train`` rows), then each Lloyd iteration runs over the FULL
+    corpus as a DataFrame job — assignment is the native argmax over
+    centroid-dot-product literals (linear-size plan, whole-stage
+    codegen), per-cluster means are one groupBy with map-side partial
+    aggregation over the exploded dimensions.  Driver memory is
+    O(n_centroids·dim) regardless of corpus size."""
+    # deterministic seeded init from the bounded sample (no Lloyd yet)
+    df0 = emb.select(id_col, "embedding").orderBy(id_col).limit(int(init_train))
+    x0 = np.array([list(r[1]) for r in df0.collect()], dtype=np.float64)
+    x0 = x0 / np.maximum(np.linalg.norm(x0, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x0[rng.choice(x0.shape[0], size=min(n_centroids, x0.shape[0]), replace=False)]
+
+    norm_emb = F.transform(
+        "embedding", lambda v: v.cast("double") / _norm(F.col("embedding"))
+    )
+    normed = emb.select(norm_emb.alias("e"))
+    for _ in range(int(n_iters)):
+        assigned = normed.withColumn(
+            "c", _nearest_centroid_col(cents, col="e")
+        )
+        # per-cluster per-dimension mean: posexplode → groupBy(c, dim) —
+        # partial (map-side) aggregation keeps the shuffle tiny:
+        # n_centroids·dim rows total
+        sums = (
+            assigned.select("c", F.posexplode("e").alias("d", "v"))
+            .groupBy("c", "d")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_cents = cents.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["c"], np.zeros(dim))[r["d"]] = r["s"]
+            cnt[r["c"]] = r["n"]
+        for c, vec in acc.items():
+            if cnt.get(c, 0) > 0:
+                m = vec / cnt[c]
+                new_cents[c] = m / max(np.linalg.norm(m), 1e-12)
+        cents = new_cents
+    return cents
+
+
+def _nearest_centroid_col(cents: np.ndarray, col: str = "embedding") -> F.Column:
     """argmax_c <embedding, centroid_c> as a native expression.
 
     Each dot product appears exactly once in an array literal; the
@@ -184,7 +242,7 @@ def _nearest_centroid_col(cents: np.ndarray) -> F.Column:
     step duplicates the whole subtree per centroid → exponential plan.)"""
     sims = F.array(
         *[
-            _dot(F.col("embedding"), F.array(*[F.lit(float(v)) for v in cents[c]]))
+            _dot(F.col(col), F.array(*[F.lit(float(v)) for v in cents[c]]))
             for c in range(cents.shape[0])
         ]
     )

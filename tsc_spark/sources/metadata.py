@@ -1,0 +1,54 @@
+"""Metadata sidecar scan (SURVEY S8).
+
+The reference seeds corpus metadata from a CSV sidecar
+(/root/reference/scripts/seed_influx.jl metadata.csv handling): one row
+per doc with source/label attributes, deduplicated on doc_id.  The
+Spark shape is a schema-pinned csv read (never inferSchema on a big
+sidecar — one pass, no sampling job) with last-write-wins dedup, ready
+to broadcast-join against the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+__all__ = ["METADATA_SCHEMA", "read_metadata_csv", "attach_metadata"]
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("source", StringType(), True),
+        StructField("label", StringType(), True),
+    ]
+)
+
+
+def read_metadata_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Deduplicated metadata table from a CSV sidecar.
+
+    Duplicate doc_ids keep the lexicographically-last (source, label)
+    row — deterministic at any parallelism (plain dropDuplicates keeps
+    an arbitrary partition's row)."""
+    raw = spark.read.csv(path, header=True, schema=METADATA_SCHEMA)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc_nulls_last("source"), F.desc_nulls_last("label")
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def attach_metadata(docs: DataFrame, metadata: DataFrame) -> DataFrame:
+    """Broadcast the (small) metadata dim onto the corpus."""
+    meta = metadata.select(
+        F.col("doc_id").alias("_m_doc_id"),
+        F.col("source").alias("meta_source"),
+        F.col("label").alias("meta_label"),
+    )
+    return docs.join(
+        F.broadcast(meta), docs["doc_id"] == meta["_m_doc_id"], "left"
+    ).drop("_m_doc_id")

@@ -1326,6 +1326,49 @@ FROM banded a
 JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup group resolution: LSH candidate pairs → connected
+    components → canonical keep-doc per group (the dedup decision a
+    training pipeline applies after pairing)."""
+    from tsc_spark.operators.dedup import dedup_components, lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(
+        _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string")),
+        n=3,
+        k=8,
+        bands=4,
+    )
+    return dedup_components(pairs)
+
+
+SQL_DEDUP_GROUPS = f"""WITH RECURSIVE {_sql_shingles(3)},
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN({_sql_h32('shingle', i)}) AS mh{i}" for i in range(8))}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, md5(CAST(mh{2 * b} AS VARCHAR) || '_' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bucket FROM sig" for b in range(4))}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, node) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT src AS doc_id, MIN(node) AS component,
+       (src = MIN(node)) AS is_canonical
+FROM reach GROUP BY src"""
+
+
 # ----------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------
@@ -1395,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_lsh,
         "ann_topk_ivf": q_ann_ivf,
         "lsh_dedup_pairs": q_lsh_dedup_pairs,
+        "dedup_groups": q_dedup_groups,
     }
 
 
@@ -1454,4 +1498,5 @@ def _static_oracle_sql() -> dict[str, str]:
         "video_frames": SQL_VIDEO_FRAMES,
         "adjacent_roughness": SQL_ROUGHNESS,
         "lsh_dedup_pairs": SQL_LSH_DEDUP,
+        "dedup_groups": SQL_DEDUP_GROUPS,
     }

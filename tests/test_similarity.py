@@ -112,3 +112,38 @@ def test_distributed_kmeans_matches_driver_fit(spark):
     a = ivf_topk(emb, qv, dim=64, k=5, cents=driver_cents).collect()
     b = ivf_topk(emb, qv, dim=64, k=5, cents=dist_cents).collect()
     assert [(r.vec_id, r.cosine) for r in a] == [(r.vec_id, r.cosine) for r in b]
+
+
+def test_dedup_components_resolves_groups(spark):
+    """Hand-built pair graph: a chain, a triangle, and an isolated pair
+    resolve to min-doc components with one canonical per group."""
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),      # chain -> comp a
+            ("x", "y"), ("y", "z"), ("x", "z"),      # triangle -> comp x
+            ("m", "n"),                                # pair -> comp m
+        ],
+        "doc_a string, doc_b string",
+    )
+    from tsc_spark.operators.dedup import dedup_components
+
+    out = {r.doc_id: (r.component, r.is_canonical) for r in dedup_components(pairs).collect()}
+    assert out == {
+        "a": ("a", True), "b": ("a", False), "c": ("a", False), "d": ("a", False),
+        "x": ("x", True), "y": ("x", False), "z": ("x", False),
+        "m": ("m", True), "n": ("m", False),
+    }
+
+
+def test_dedup_components_long_chain_converges(spark):
+    """A 30-doc chain needs multiple propagation rounds; the fixpoint
+    loop with lineage checkpoints must converge to one component."""
+    docs = [f"d{i:02d}" for i in range(30)]
+    pairs = spark.createDataFrame(
+        list(zip(docs[:-1], docs[1:])), "doc_a string, doc_b string"
+    )
+    from tsc_spark.operators.dedup import dedup_components
+
+    rows = dedup_components(pairs, max_iters=40).collect()
+    assert {r.component for r in rows} == {"d00"}
+    assert sum(r.is_canonical for r in rows) == 1

@@ -28,6 +28,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash",
+    "dedup_components",
 ]
 
 
@@ -143,6 +144,66 @@ def lsh_candidate_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Resolve near-dup pairs into dedup groups: (doc_id, component,
+    is_canonical) where ``component`` is the minimum doc_id reachable
+    through the pair graph and the canonical doc is the one kept.
+
+    The group-resolution step every dedup pipeline needs after candidate
+    pairing: min-label propagation to fixpoint — each iteration is one
+    equi-join + groupBy (min label among neighbors), with
+    ``localCheckpoint`` breaking lineage so the plan stays constant-size
+    across iterations.  Converges in O(diameter) rounds; near-dup
+    components are shallow in practice (the production-scale variant is
+    the large-star/small-star CC algorithm — same join shape, fewer
+    rounds on adversarially long chains, which ``max_iters`` bounds
+    here).  Deterministic: labels are lexicographic doc_id minima."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(int(max_iters)):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("component"),
+        (F.col("doc_id") == F.col("comp")).alias("is_canonical"),
     )
 
 

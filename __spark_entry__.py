@@ -413,6 +413,55 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 FROM documents"""
 
 
+def q_repetition_stats(spark, sf_dir):
+    from tsc_spark.operators.text import repetition_stats
+
+    return repetition_stats(
+        _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+
+
+SQL_REPETITION = """
+WITH lines AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         len(string_split(text, chr(10))) AS n_lines,
+         round((len(string_split(text, chr(10)))
+                - len(list_distinct(string_split(text, chr(10)))))
+               * 1.0 / greatest(len(string_split(text, chr(10))), 1), 6) AS dup_line_frac
+  FROM documents
+),
+bg AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, w[i+1] || ' ' || w[i+2] AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) s,
+       unnest(generate_series(0, len(w)-2)) AS t(i)
+  WHERE len(w) >= 2
+),
+per AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, round(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_bigram_frac
+  FROM per GROUP BY 1
+)
+SELECT l.doc_id, CAST(n_lines AS BIGINT) AS n_lines, dup_line_frac,
+       COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac
+FROM lines l LEFT JOIN top USING (doc_id)"""
+
+
+def q_pii_stats(spark, sf_dir):
+    from tsc_spark.operators.text import pii_stats
+
+    return pii_stats(
+        _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+
+
+SQL_PII = r"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS url_count,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS email_count
+FROM documents"""
+
+
 def q_exact_dups(spark, sf_dir):
     from tsc_spark.operators.dedup import exact_dup_groups
 
@@ -1398,6 +1447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "pii_stats": q_pii_stats,
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -1472,6 +1523,8 @@ def _static_oracle_sql() -> dict[str, str]:
         "quality_scores": SQL_QUALITY,
         "lang_id": SQL_LANG_ID,
         "fingerprint": SQL_FINGERPRINT,
+        "repetition_stats": SQL_REPETITION,
+        "pii_stats": SQL_PII,
         "exact_dups": SQL_EXACT_DUPS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH,

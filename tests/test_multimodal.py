@@ -70,3 +70,37 @@ def test_video_frame_sampling_is_metadata_only(media_df):
     # plan stays native: no python UDF / mapInPandas in frame selection
     plan = frames._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestQualityFilters:
+    def test_repetition_stats_on_crafted_docs(self, spark):
+        from tsc_spark.operators.text import repetition_stats
+
+        docs = spark.createDataFrame(
+            [
+                ("r", "a b a b a b"),          # top bigram 'a b' = 3 of 5
+                ("u", "one two three four"),   # all bigrams unique
+                ("l", "x\nx\ny"),              # 1 duplicate line of 3
+                ("s", "solo"),                 # no bigrams at all
+            ],
+            "doc_id string, text string",
+        )
+        out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+        assert out["r"].top_bigram_frac == 0.6
+        assert out["u"].top_bigram_frac == round(1 / 3, 6)
+        assert out["l"].dup_line_frac == round(1 / 3, 6)
+        assert out["l"].n_lines == 3
+        assert out["s"].top_bigram_frac == 0.0
+
+    def test_pii_stats_counts_urls_and_emails(self, spark):
+        from tsc_spark.operators.text import pii_stats
+
+        docs = spark.createDataFrame(
+            [
+                ("a", "see https://x.example/a and http://y.example plus bob@example.com"),
+                ("b", "no contact info here"),
+            ],
+            "doc_id string, text string",
+        )
+        out = {r.doc_id: (r.url_count, r.email_count) for r in pii_stats(docs).collect()}
+        assert out == {"a": (2, 1), "b": (0, 0)}

@@ -16,6 +16,8 @@ __all__ = [
     "quality_scores",
     "lang_id",
     "fingerprint",
+    "repetition_stats",
+    "pii_stats",
 ]
 
 # tiny deterministic English stopword set (shared with the SQL oracle)
@@ -89,6 +91,63 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unknown")).alias("lang"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per doc: duplicate-line fraction
+    and top-bigram fraction (the classic pre-training repetition
+    filters).
+
+    Lines stay array-native (split/array_distinct — no explode); the
+    bigram histogram is relational (explode → count per (doc, bigram) →
+    per-doc max/total in ONE groupBy pass with map-side partials) so a
+    pathological doc costs rows proportional to its own bigrams, never
+    a quadratic expansion."""
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.round(
+        (n_lines - F.size(F.array_distinct(lines))) / F.greatest(n_lines, F.lit(1)), 6
+    )
+    base = docs.select(
+        "doc_id", n_lines.alias("n_lines"), dup_line_frac.alias("dup_line_frac")
+    )
+
+    words = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_bigram = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = per_bigram.groupBy("doc_id").agg(
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_frac")
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """PII-ish surface counts per doc (URL / email regex hits) — the
+    redaction-pipeline precursor, all-native ``regexp_count``."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(URL_RE)).cast("long").alias("url_count"),
+        F.regexp_count("text", F.lit(EMAIL_RE)).cast("long").alias("email_count"),
     )
 
 

@@ -599,6 +599,49 @@ SELECT user_id, session_idx, COUNT(*) AS n_events,
 FROM with_sid GROUP BY 1, 2"""
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each click event picks up the latest at-or-before
+    view event of the same user (operators.asof — union + one keyed
+    sort + LOCF, never a range cross product)."""
+    from tsc_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # right side made unique per (user, ts) so tie order is well-defined
+    # on both engines (ASOF semantics assume unique right timestamps)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("view_value"))
+    )
+    out = asof_join(clicks, views, on="user_id", time_col="ts")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round("value", 6).alias("click_value"),
+        F.round("view_value_asof", 6).alias("view_value_asof"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("view_ts_asof"),
+    )
+
+
+SQL_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id,
+       round(c.value, 6) AS click_value,
+       round(v.view_value, 6) AS view_value_asof,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts_asof
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts"""
+
+
 def q_collapse_max(spark, sf_dir):
     from tsc_spark.operators.sessionize import collapse_max_value
 
@@ -1455,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "collapse_max": q_collapse_max,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1531,6 +1575,7 @@ def _static_oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "cosine_topk": SQL_COSINE_TOPK,
         "sessionize": SQL_SESSIONIZE,
+        "asof_join": SQL_ASOF,
         "collapse_max": SQL_COLLAPSE_MAX,
         "pricing_summary": SQL_PRICING,
         "top_customers": SQL_TOP_CUSTOMERS,

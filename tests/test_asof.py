@@ -1,0 +1,51 @@
+"""As-of join: inclusive at-or-before semantics, left-outer nulls,
+latest-wins across multiple prior rows."""
+
+from datetime import datetime
+
+from tsc_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),   # after r2 -> 20.0
+            (2, "u1", _ts("2024-01-01 09:00:00")),   # ties r1 exactly -> 10.0 (inclusive)
+            (3, "u1", _ts("2024-01-01 08:00:00")),   # before everything -> NULL
+            (4, "u2", _ts("2024-01-01 12:00:00")),   # other key -> 99.0
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 09:00:00"), 10.0),
+            ("u1", _ts("2024-01-01 09:30:00"), 20.0),
+            ("u2", _ts("2024-01-01 11:00:00"), 99.0),
+        ],
+        "user_id string, ts timestamp, v double",
+    )
+    out = {r.event_id: (r.v_asof, r.ts_asof) for r in
+           asof_join(left, right, on="user_id", time_col="ts").collect()}
+    assert out[1] == (20.0, _ts("2024-01-01 09:30:00"))
+    assert out[2] == (10.0, _ts("2024-01-01 09:00:00"))
+    assert out[3] == (None, None)
+    assert out[4] == (99.0, _ts("2024-01-01 11:00:00"))
+
+
+def test_asof_preserves_left_row_count(spark, tokens_df):
+    ev = spark.createDataFrame(
+        [(i, "k", _ts(f"2024-01-01 10:{i:02d}:00")) for i in range(30)],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:10:00"), 1.0)],
+        "user_id string, ts timestamp, v double",
+    )
+    out = asof_join(ev, right, on="user_id", time_col="ts")
+    assert out.count() == 30
+    matched = out.filter("v_asof IS NOT NULL").count()
+    assert matched == 20  # rows at 10:10 and later

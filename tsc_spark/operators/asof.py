@@ -1,0 +1,78 @@
+"""As-of join — most recent right row at-or-before each left row.
+
+The canonical timeseries-engine join Spark lacks natively.  Implemented
+as the scalable union-and-carry plan, never a range cross product:
+
+  union(left, right) → ONE shuffle on the key → per-key sort by
+  (time, side) → LOCF of the right payload → keep left rows.
+
+Cost is a single repartition+sort of |L|+|R| rows (exactly what a
+sort-merge join would pay), state per key is one carried payload — so
+the plan holds at any scale and AQE skew-splits hot keys.  Ties:
+right rows at the identical timestamp are visible to the left row
+(inclusive at-or-before, matching DuckDB/kdb ASOF semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    time_col: str,
+    payload_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left rows + the latest right payload at-or-before their time.
+
+    ``payload_cols`` default to every right column that is neither a
+    key nor the time column; they appear on the output with ``suffix``
+    (plus ``<time_col><suffix>`` for the matched right timestamp).
+    Left rows with no prior right row carry NULLs (left-outer
+    semantics)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if payload_cols is None:
+        payload_cols = [
+            c for c in right.columns if c not in keys and c != time_col
+        ]
+
+    lhs = left.withColumn("_asof_side", F.lit(1))
+    for c in payload_cols:
+        lhs = lhs.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    lhs = lhs.withColumn("_r_ts", F.lit(None).cast(dict(right.dtypes)[time_col]))
+
+    rhs = right.select(
+        *keys,
+        F.col(time_col),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+        F.col(time_col).alias("_r_ts"),
+    )
+    for c in left.columns:
+        if c not in keys and c != time_col:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    u = lhs.unionByName(rhs.select(*lhs.columns))
+    # right rows sort BEFORE left rows at the same timestamp → inclusive
+    # at-or-before
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(time_col).asc(), F.col("_asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias(f"{time_col}{suffix}"),
+    )
+    drop = ["_asof_side", "_r_ts"] + [f"_r_{c}" for c in payload_cols]
+    return carried.filter(F.col("_asof_side") == 1).drop(*drop)

@@ -642,6 +642,35 @@ FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts"""
 
 
+def q_range_join(spark, sf_dir):
+    """Range join: (click, error) pairs of the same user within 300 s
+    (operators.asof.range_join — interval-binned equi-join, bounded
+    fan-out, never a cross product)."""
+    from tsc_spark.operators.asof import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    out = range_join(clicks, errors, on="user_id", time_col="ts", tolerance_seconds=300)
+    return out.select(
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("error_id_r").cast("long").alias("error_id"),
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT c.event_id AS click_id, c.user_id, e.event_id AS error_id
+FROM events c JOIN events e
+  ON c.user_id = e.user_id
+ AND abs(epoch(c.ts) - epoch(e.ts)) <= 300
+WHERE c.event_type = 'click' AND e.event_type = 'error'"""
+
+
 def q_collapse_max(spark, sf_dir):
     from tsc_spark.operators.sessionize import collapse_max_value
 
@@ -1499,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "collapse_max": q_collapse_max,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1576,6 +1606,7 @@ def _static_oracle_sql() -> dict[str, str]:
         "cosine_topk": SQL_COSINE_TOPK,
         "sessionize": SQL_SESSIONIZE,
         "asof_join": SQL_ASOF,
+        "range_join": SQL_RANGE_JOIN,
         "collapse_max": SQL_COLLAPSE_MAX,
         "pricing_summary": SQL_PRICING,
         "top_customers": SQL_TOP_CUSTOMERS,

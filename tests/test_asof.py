@@ -49,3 +49,29 @@ def test_asof_preserves_left_row_count(spark, tokens_df):
     assert out.count() == 30
     matched = out.filter("v_asof IS NOT NULL").count()
     assert matched == 20  # rows at 10:10 and later
+
+
+def test_range_join_matches_brute_force(spark):
+    """Binned range join == the naive cross-filter on a crafted set,
+    including pairs that straddle bucket boundaries."""
+    import itertools
+
+    from tsc_spark.operators.asof import range_join
+
+    lrows = [(i, "k", _ts(f"2024-01-01 10:{i:02d}:{(i * 7) % 60:02d}")) for i in range(12)]
+    rrows = [(100 + j, "k", _ts(f"2024-01-01 10:{j:02d}:{(j * 13) % 60:02d}")) for j in range(12)]
+    left = spark.createDataFrame(lrows, "lid long, user_id string, ts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, user_id string, ts timestamp")
+
+    got = sorted(
+        (r.lid, r.rid_r)
+        for r in range_join(left, right, on="user_id", time_col="ts",
+                            tolerance_seconds=90).collect()
+    )
+    expected = sorted(
+        (l[0], r[0])
+        for l, r in itertools.product(lrows, rrows)
+        if abs((l[2] - r[2]).total_seconds()) <= 90
+    )
+    assert got == expected
+    assert len(got) > 0

@@ -18,7 +18,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    time_col: str,
+    tolerance_seconds: float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs with |t_left − t_right| ≤ tolerance,
+    per key — the bounded-interval variant of the as-of join.
+
+    Scalable shape: each left row is replicated into its time bucket
+    and the two neighbours (bucket = floor(epoch/tolerance)), the join
+    is a pure equi-join on (key, bucket), and the exact |Δt| filter
+    prunes the neighbours — candidate fan-out is bounded by the per-
+    bucket density, never |L|·|R|.  This is the standard interval-
+    binning rewrite Spark's optimizer does not apply on its own."""
+    keys = [on] if isinstance(on, str) else list(on)
+    tol = float(tolerance_seconds)
+    l_epoch = F.col(time_col).cast("timestamp").cast("double")
+
+    lhs = left.withColumn("_l_epoch", l_epoch).withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("_l_epoch") / tol) - 1,
+                F.floor(F.col("_l_epoch") / tol),
+                F.floor(F.col("_l_epoch") / tol) + 1,
+            )
+        ),
+    )
+    r_payload = [c for c in right.columns if c not in keys]
+    rhs = right.select(
+        *keys,
+        F.col(time_col).cast("timestamp").cast("double").alias("_r_epoch"),
+        F.floor(
+            F.col(time_col).cast("timestamp").cast("double") / tol
+        ).alias("_bucket"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in r_payload if c != time_col],
+    )
+    joined = lhs.join(rhs, keys + ["_bucket"]).filter(
+        F.abs(F.col("_l_epoch") - F.col("_r_epoch")) <= tol
+    )
+    return joined.drop("_bucket", "_l_epoch", "_r_epoch")
 
 
 def asof_join(

@@ -462,6 +462,61 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 FROM documents"""
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-shingle estimate per source (deterministic sketch —
+    bounded per-group state, engine-portable bit-for-bit)."""
+    from tsc_spark.operators.dedup import shingles
+    from tsc_spark.operators.sketch import kmv_distinct
+
+    sh = shingles(
+        _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string")), n=3
+    ).join(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "source"
+        ),
+        "doc_id",
+    )
+    return kmv_distinct(sh, "source", "shingle", k=64)
+
+
+SQL_KMV = f"""WITH {_sql_shingles(3)},
+tagged AS (
+  SELECT d.source, s.shingle
+  FROM shingles s JOIN documents d ON s.doc_id = CAST(d.doc_id AS VARCHAR)
+),
+hashed AS (
+  SELECT DISTINCT source, {_sql_h32("shingle", 5)} AS h
+  FROM (SELECT DISTINCT source, shingle FROM tagged)
+),
+topk AS (
+  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hashed
+),
+agg AS (
+  SELECT source, COUNT(*) AS n_in_sketch, MAX(h) AS kth_min
+  FROM topk WHERE rn <= 64 GROUP BY 1
+)
+SELECT source, CAST(n_in_sketch AS BIGINT) AS n_in_sketch,
+       CASE WHEN n_in_sketch < 64 THEN CAST(n_in_sketch AS DOUBLE)
+            ELSE round(63.0 * 4294967296.0 / kth_min, 1) END AS distinct_estimate
+FROM agg"""
+
+
+def q_stable_sample(spark, sf_dir):
+    """Deterministic ~10% doc sample by id-hash threshold (the stable
+    eval-holdout selection; same rows on any engine/partitioning)."""
+    from tsc_spark.operators.sketch import stable_sample
+
+    docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
+    return stable_sample(docs, "doc_id", 0.1).select("doc_id", "source")
+
+
+SQL_STABLE_SAMPLE = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, source
+FROM documents
+WHERE {_sql_h32("CAST(doc_id AS VARCHAR)", 17)} < CAST(0.1 * 4294967296.0 AS BIGINT)"""
+
+
 def q_exact_dups(spark, sf_dir):
     from tsc_spark.operators.dedup import exact_dup_groups
 
@@ -1521,6 +1576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "pii_stats": q_pii_stats,
+        "kmv_distinct": q_kmv_distinct,
+        "stable_sample": q_stable_sample,
         "exact_dups": q_exact_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
@@ -1599,6 +1656,8 @@ def _static_oracle_sql() -> dict[str, str]:
         "fingerprint": SQL_FINGERPRINT,
         "repetition_stats": SQL_REPETITION,
         "pii_stats": SQL_PII,
+        "kmv_distinct": SQL_KMV,
+        "stable_sample": SQL_STABLE_SAMPLE,
         "exact_dups": SQL_EXACT_DUPS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_signatures": SQL_MINHASH,

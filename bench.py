@@ -86,6 +86,11 @@ BENCH_QUERY_NAMES = [
     "normalize_combine",
     "near_dup_embeddings",
     "generate_poly",
+    "asof_join",
+    "range_join",
+    "dedup_groups",
+    "repetition_stats",
+    "kmv_distinct",
 ]
 
 

@@ -1,0 +1,113 @@
+"""Hand-computed parity vectors for the polyphonic-generation math —
+each case is worked by hand from the reference formulas (file:line in
+the assertions) so the port is pinned without a Julia runtime."""
+
+import pytest
+
+from tsc_spark import config as C
+from tsc_spark.kernel.dissonance import hungarian_min_assignment
+from tsc_spark.kernel.multistream import set_distance01
+from tsc_spark.kernel.polygen import (
+    _concordance_cost,
+    _observed_chord_range_and_density,
+    array_param,
+    generate_centered_targets,
+)
+
+
+class TestConfigQuantizers:
+    def test_quantize_sustain_rounds_to_quarters(self):
+        # reference config.jl:169-172; round is ties-to-even in BOTH
+        # Julia and Python
+        assert C.quantize_sustain(0.3) == 0.25
+        assert C.quantize_sustain(0.375) == 0.5   # round(1.5) -> 2
+        assert C.quantize_sustain(0.125) == 0.0   # round(0.5) -> 0
+        assert C.quantize_sustain(1.7) == 1.0     # clamp
+        assert C.quantize_sustain(-2.0) == 0.0
+
+    def test_area_band_low_clamps_to_valid_bands(self):
+        # reference config.jl:174-186: fld(note,4)*4 clamped to [36, 120]
+        assert C.area_band_low_min() == 36
+        assert C.area_band_low_max() == 120
+        assert C.area_band_low(100) == 100
+        assert C.area_band_low(101) == 100
+        assert C.area_band_low(35) == 36
+        assert C.area_band_low(127) == 120
+
+    def test_bpm_helpers(self):
+        # reference config.jl:148-155
+        assert C.step_duration_from_bpm(240) == 0.25
+        assert C.step_duration_from_bpm(480) == 0.125
+        assert C.sanitize_bpm(float("nan")) == C.POLYPHONIC_BPM
+        assert C.sanitize_bpm(0.2) == C.POLYPHONIC_BPM  # below BPM_MIN
+
+
+class TestControllerHelpers:
+    def test_centered_targets_linspace(self):
+        # reference controller:2408-2427: linspace on [c-s/2, c+s/2]
+        assert generate_centered_targets(3, 0.5, 0.4) == [0.3, 0.5, 0.7]
+        assert generate_centered_targets(1, 0.9, 1.0) == [0.9]
+        # clamped at the unit edges
+        assert generate_centered_targets(2, 0.0, 1.0) == [0.0, 0.5]
+
+    def test_array_param_index_clamps(self):
+        # reference controller:2339-2356
+        gp = {"x": [10, 20], "y": 7}
+        assert array_param(gp, "x", 0) == 10
+        assert array_param(gp, "x", 5) == 20   # past end -> last
+        assert array_param(gp, "y", 3) == 7    # scalar passthrough
+        assert array_param(gp, "z", 0) is None
+
+    def test_observed_chord_range_and_density(self):
+        # reference controller:3199-3211: range = hi-lo clamped,
+        # density = |uniq| / slot_count
+        assert _observed_chord_range_and_density([60, 64, 64]) == (4, 2 / 5)
+        assert _observed_chord_range_and_density([60]) == (0, 1.0)
+        assert _observed_chord_range_and_density([60, 90]) == (24, 2 / 31)  # range clamps at 24
+
+    def test_concordance_cost(self):
+        # reference controller:2548-2556
+        assert _concordance_cost(0.5, 0.3) == pytest.approx(0.5 * abs(0.7 - 1.0))
+        assert _concordance_cost(-0.5, 0.3) == pytest.approx(0.5 * abs(0.7 - 0.0))
+        assert _concordance_cost(0.0, 0.9) == 0.0
+
+
+class TestSetDistance:
+    def test_scalar_pair(self):
+        # reference msm:964-1029: symmetric min-avg / width, no count
+        # penalty for equal sizes
+        assert set_distance01([60], [62], 10, 4) == pytest.approx(0.2)
+
+    def test_size_mismatch_blends_count_penalty(self):
+        # a_avg = mean(2,2)=2; b_avg = 2; pitch = 0.2; count = 1/4;
+        # blended (0.2+0.25)/2
+        assert set_distance01([60, 64], [62], 10, 4) == pytest.approx(0.225)
+
+    def test_empty_rules(self):
+        assert set_distance01([], [], 10, 4) == 0.0
+        assert set_distance01([], [60], 10, 4) == 1.0
+
+
+class TestHungarian:
+    def test_known_assignment(self):
+        # min assignment of [[4,1,3],[2,0,5],[3,2,2]] = 1+2+2 (cols 1,0,2)
+        cost = [[4.0, 1.0, 3.0], [2.0, 0.0, 5.0], [3.0, 2.0, 2.0]]
+        a = hungarian_min_assignment(cost)
+        total = sum(cost[i][a[i]] for i in range(3))
+        assert total == 5.0
+
+    def test_matches_brute_force_on_random(self):
+        import itertools
+        import random
+
+        rng = random.Random(3)
+        for _ in range(25):
+            n = rng.randint(2, 5)
+            cost = [[rng.random() for _ in range(n)] for _ in range(n)]
+            a = hungarian_min_assignment(cost)
+            got = sum(cost[i][a[i]] for i in range(n))
+            best = min(
+                sum(cost[i][p[i]] for i in range(n))
+                for p in itertools.permutations(range(n))
+            )
+            assert got == pytest.approx(best)

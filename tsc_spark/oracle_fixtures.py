@@ -400,17 +400,45 @@ def build_fixture_sql(name: str, sf_dir: str) -> str:
     return f"SELECT {proj} FROM (VALUES\n{values}\n) AS t({', '.join(cols)})"
 
 
+def _sf_checksum(sf_dir: str) -> str:
+    """Content hash of the tables the fixtures derive from — guards the
+    cache against regenerated testdata (stale fixtures would otherwise
+    mis-compare silently)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for t in ("documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()
+
+
 def fixture_sql(name: str, sf_dir: str | None = None, force: bool = False) -> str:
-    """Cached fixture SQL for one query (generated on miss)."""
+    """Cached fixture SQL for one query (generated on miss or when the
+    source testdata's checksum changed)."""
     sf = sf_dir or oracle_sf_dir()
-    cache = os.path.join(FIXTURE_ROOT, os.path.basename(os.path.normpath(sf)), f"{name}.sql")
-    if not force and os.path.exists(cache):
+    cache_dir = os.path.join(FIXTURE_ROOT, os.path.basename(os.path.normpath(sf)))
+    cache = os.path.join(cache_dir, f"{name}.sql")
+    stamp = os.path.join(cache_dir, "_source_checksum")
+    checksum = _sf_checksum(sf)
+    stamp_ok = os.path.exists(stamp) and open(stamp).read().strip() == checksum
+    if not force and stamp_ok and os.path.exists(cache):
         with open(cache) as f:
             return f.read()
+    if not stamp_ok:
+        # invalidate every cached fixture for this sf in one sweep
+        if os.path.isdir(cache_dir):
+            for fn in os.listdir(cache_dir):
+                if fn.endswith(".sql"):
+                    os.remove(os.path.join(cache_dir, fn))
     sql = build_fixture_sql(name, sf)
-    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    os.makedirs(cache_dir, exist_ok=True)
     with open(cache, "w") as f:
         f.write(sql)
+    with open(stamp, "w") as f:
+        f.write(checksum)
     return sql
 
 

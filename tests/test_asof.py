@@ -75,3 +75,33 @@ def test_range_join_matches_brute_force(spark):
     )
     assert got == expected
     assert len(got) > 0
+
+
+def test_asof_join_matches_brute_force_random(spark):
+    """Randomized series: the union+LOCF as-of join equals the naive
+    per-row scan (inclusive at-or-before, latest wins)."""
+    import random
+
+    rng = random.Random(11)
+    lrows, rrows = [], []
+    for i in range(40):
+        key = f"k{rng.randint(0, 2)}"
+        lrows.append((i, key, _ts(f"2024-01-01 0{rng.randint(0, 9)}:{rng.randint(0, 59):02d}:00")))
+    for j in range(25):
+        key = f"k{rng.randint(0, 2)}"
+        rrows.append((key, _ts(f"2024-01-01 0{rng.randint(0, 9)}:{rng.randint(0, 59):02d}:00"), float(j)))
+    # unique (key, ts) on the right: keep max payload (deterministic)
+    best = {}
+    for k, t, v in rrows:
+        best[(k, t)] = max(best.get((k, t), -1.0), v)
+    rrows = [(k, t, v) for (k, t), v in best.items()]
+
+    left = spark.createDataFrame(lrows, "lid long, user_id string, ts timestamp")
+    right = spark.createDataFrame(rrows, "user_id string, ts timestamp, v double")
+    got = {r.lid: r.v_asof for r in
+           asof_join(left, right, on="user_id", time_col="ts").collect()}
+
+    for lid, key, lt in lrows:
+        prior = [(t, v) for k, t, v in rrows if k == key and t <= lt]
+        expected = max(prior)[1] if prior else None
+        assert got[lid] == expected, (lid, key, lt)

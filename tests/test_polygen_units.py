@@ -111,3 +111,53 @@ class TestHungarian:
                 for p in itertools.permutations(range(n))
             )
             assert got == pytest.approx(best)
+
+
+class TestPayloadFuzz:
+    """Random (bounded) payloads through the full orchestration: never
+    crashes, always emits strict 12-field records within ranges."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    note = st.integers(min_value=30, max_value=127)  # deliberately strays out of range
+    unit = st.floats(min_value=-0.5, max_value=1.5, allow_nan=False)
+    stream_rec = st.tuples(
+        st.lists(note, min_size=1, max_size=3), unit, unit, unit, unit, unit, unit, unit
+    ).map(lambda t: [list(t[0])] + list(t[1:]))
+    step = st.lists(stream_rec, min_size=1, max_size=2)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        ctx=st.lists(step, min_size=1, max_size=2),
+        counts=st.lists(st.integers(min_value=1, max_value=2), min_size=1, max_size=2),
+        mtr=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        dis=unit,
+        nrf=unit,
+    )
+    def test_random_payloads_produce_valid_records(self, ctx, counts, mtr, dis, nrf):
+        from tsc_spark.kernel.polygen import generate_polyphonic
+
+        out = generate_polyphonic(
+            {
+                "initial_context": ctx,
+                "stream_counts": counts,
+                "merge_threshold_ratio": mtr,
+                "dissonance_target": [dis],
+                "note_register_freedom": [nrf],
+            }
+        )
+        assert len(out["results"]) == len(ctx) + len(counts)
+        for step_idx, step_rows in enumerate(out["results"]):
+            for st_rec in step_rows:
+                assert len(st_rec) == 12
+                assert all(36 <= n <= 120 for n in st_rec[0])
+                for v in st_rec[1:8]:
+                    assert 0.0 <= v <= 1.0
+                assert 0 <= st_rec[8] <= 24
+                assert 0.0 <= st_rec[9] <= 1.0
+                assert st_rec[10] in (0.0, 0.25, 0.5, 0.75, 1.0)
+                assert 0.0 <= st_rec[11] <= 1.0
+        # generated widths follow the request exactly
+        widths = [len(s) for s in out["results"][len(ctx):]]
+        assert widths == [max(c, 1) for c in counts]

@@ -161,3 +161,20 @@ class TestPayloadFuzz:
         # generated widths follow the request exactly
         widths = [len(s) for s in out["results"][len(ctx):]]
         assert widths == [max(c, 1) for c in counts]
+
+
+def test_lenient_bool_parsing_in_dimension_policy():
+    """reference _parse_bool word lists (controller:2054-2066): string
+    'false' must disable, not be truthy."""
+    import copy
+
+    from tsc_spark.kernel.polygen import _b, generate_polyphonic
+    from tsc_spark.oracle_fixtures import GENERATE_POLY_REQUESTS
+
+    assert _b("false") is False and _b("OFF") is False and _b("yes") is True
+    assert _b(None, True) is True and _b("garbage", True) is True
+
+    p = copy.deepcopy(dict(GENERATE_POLY_REQUESTS[0][1]))
+    p["dimension_policy"] = {"vol": {"accept_params": "false", "fixed_value": 0.25}}
+    out = generate_polyphonic(p)
+    assert out["results"][1][0][1] == 0.25  # vol held fixed, not searched

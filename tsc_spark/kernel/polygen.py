@@ -89,6 +89,24 @@ def _i(x, default=0) -> int:
         return int(default)
 
 
+def _b(x, default: bool = False) -> bool:
+    """Lenient word-list bool parser (reference _parse_bool,
+    controller:2054-2066)."""
+    if x is None:
+        return default
+    if isinstance(x, bool):
+        return x
+    if isinstance(x, int):
+        return x != 0
+    if isinstance(x, str):
+        v = x.strip().lower()
+        if v in ("1", "true", "t", "yes", "y", "on", "enable", "enabled"):
+            return True
+        if v in ("0", "false", "f", "no", "n", "off", "disable", "disabled"):
+            return False
+    return default
+
+
 def _clamp(x, lo, hi):
     return min(max(x, lo), hi)
 
@@ -394,7 +412,7 @@ def generate_polyphonic(payload: dict) -> dict:
             continue
         if isinstance(raw_val, dict):
             if "accept_params" in raw_val:
-                dim_accept[key] = bool(raw_val["accept_params"])
+                dim_accept[key] = _b(raw_val["accept_params"], dim_accept[key])
             src = (
                 raw_val.get("fixed_value_source")
                 or raw_val.get("fixed_source")
@@ -412,8 +430,8 @@ def generate_polyphonic(payload: dict) -> dict:
                 )
             if "fixed_value" in raw_val:
                 dim_fixed[key] = _norm_fixed(key, raw_val["fixed_value"])
-        elif isinstance(raw_val, bool):
-            dim_accept[key] = raw_val
+        elif isinstance(raw_val, (bool, str)):
+            dim_accept[key] = _b(raw_val, dim_accept[key])
         elif raw_val is not None:
             dim_fixed[key] = _norm_fixed(key, raw_val)
 

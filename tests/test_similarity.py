@@ -70,9 +70,16 @@ def test_ivf_assign_partitions_all_vectors(emb_df, query_vec):
     assert assigned.filter(F.col("ivf_list").isNull()).count() == 0
     n_lists = assigned.select("ivf_list").distinct().count()
     assert 2 <= n_lists <= 16
-    # plan stays native (no python UDF) — IVF assignment is expression-only
+    # default path = Arrow-batched matmul argmax (full-corpus hot path);
+    # the JVM-only expression plan stays available and assigns identically
     plan = assigned._jdf.queryExecution().executedPlan().toString()
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    native = ivf_assign(src, cents, impl="native")
+    nplan = native._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in nplan and "BatchEvalPython" not in nplan
+    a = sorted((r.vec_id, r.ivf_list) for r in assigned.collect())
+    b = sorted((r.vec_id, r.ivf_list) for r in native.collect())
+    assert a == b
 
 
 def test_lsh_multiprobe_fills_k(emb_df, query_vec):

@@ -78,21 +78,35 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10) -> DataFram
     )
 
 
+def _batch_matmul_int_udf(mat: np.ndarray, post):
+    """Arrow-batched X @ matᵀ → ``post(sims)`` int32 per row — the hot
+    path for bucket/list assignment over a full corpus (Spark array
+    HOFs are interpreted per element; one BLAS matmul per batch is the
+    boundary the north rule allows)."""
+
+    @F.pandas_udf("int")
+    def _f(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.array([np.asarray(v, dtype=np.float64) for v in s])
+        return pd.Series(post(x @ mat.T).astype("int32"))
+
+    return _f
+
+
 def hyperplane_buckets(
     emb: DataFrame, dim: int, n_planes: int = 8, seed: int = 7
 ) -> DataFrame:
     """Random-hyperplane (SimHash) bucket id per vector.
 
-    Planes are a deterministic seeded matrix inlined as literals; the
-    bucket is the concatenated sign bits of plane dot products."""
+    Planes are a deterministic seeded matrix; the bucket is the
+    concatenated sign bits of the plane dot products, computed as one
+    vectorized matmul per Arrow batch."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    bucket = None
-    for j in range(n_planes):
-        pj = F.array(*[F.lit(float(v)) for v in planes[j]])
-        bit = F.when(_dot(F.col("embedding"), pj) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else (bucket + bit)
-    return emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    bits = 1 << np.arange(n_planes)
+    bucket_udf = _batch_matmul_int_udf(planes, lambda sims: (sims > 0) @ bits)
+    return emb.select("vec_id", "embedding", bucket_udf("embedding").alias("bucket"))
 
 
 def ann_topk_lsh(
@@ -249,13 +263,22 @@ def _nearest_centroid_col(cents: np.ndarray, col: str = "embedding") -> F.Column
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
-def ivf_assign(emb: DataFrame, cents: np.ndarray) -> DataFrame:
+def ivf_assign(emb: DataFrame, cents: np.ndarray, impl: str = "pandas") -> DataFrame:
     """Attach the IVF list id (nearest centroid) to every vector.
 
-    At corpus scale the result is written partitioned by ``ivf_list`` so
-    a probe scans only nprobe/n_centroids of the data (partition
-    pruning), the IVF payoff."""
-    return emb.withColumn("ivf_list", _nearest_centroid_col(cents))
+    Default path is the Arrow-batched matmul-argmax (full-corpus hot
+    path); ``impl="native"`` keeps the JVM-only array-expression plan
+    (useful where Python workers are unavailable).  ``np.argmax`` and
+    ``array_position(max)`` share the first-occurrence tie rule, so the
+    two paths assign identically.  At corpus scale the result is
+    written partitioned by ``ivf_list`` so a probe scans only
+    nprobe/n_centroids of the data (partition pruning), the IVF payoff."""
+    if impl == "native":
+        return emb.withColumn("ivf_list", _nearest_centroid_col(cents))
+    assign_udf = _batch_matmul_int_udf(
+        np.asarray(cents, dtype=np.float64), lambda sims: sims.argmax(axis=1)
+    )
+    return emb.withColumn("ivf_list", assign_udf("embedding"))
 
 
 def ivf_topk(

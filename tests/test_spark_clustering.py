@@ -71,3 +71,14 @@ class TestTreeBitEquality:
             ]
             want.sort(key=lambda t: t[0])
             assert got[doc_id] == want, doc_id  # == on floats → bit-exact up to -0.0
+
+
+def test_query_matches_max_series_caps_the_scan(spark, tokens_df):
+    from pyspark.sql import functions as F
+
+    from tsc_spark.operators.matching import query_matches
+
+    capped = query_matches(spark, tokens_df, [0, 1, 3, 2, 4, 5, 3, 1], max_series=5)
+    docs = {r.doc_id for r in capped.select("doc_id").distinct().collect()}
+    allowed = {r.doc_id for r in tokens_df.orderBy("doc_id").limit(5).collect()}
+    assert docs <= allowed and len(allowed) == 5

@@ -48,10 +48,14 @@ def query_matches(
     min_match_window: int = DEFAULT_QUERY_MIN_MATCH_WINDOW,
     range_min: int = DEFAULT_RANGE_MIN,
     range_max: int = DEFAULT_RANGE_MAX,
+    max_series: int | None = None,
 ) -> DataFrame:
     """All (doc_id, q_start, db_start, window_size) matches of the query
     against every corpus series (containment-filtered, per reference
-    semantics ...:2005-2040)."""
+    semantics ...:2005-2040).  ``max_series`` caps how many series are
+    scanned (deterministically, the doc_id-ordered prefix) — the
+    reference's query_db scan budget (warmup uses max_series=1,
+    config/warmup_actions.json:43)."""
     from ..kernel.matching import build_query_seed, match_series_rollback
 
     from .clustering import auto_balance
@@ -60,6 +64,8 @@ def query_matches(
     bc = spark.sparkContext.broadcast(pickle.dumps(seed))
     mmw = int(min_match_window)
 
+    if max_series is not None:
+        tokens_df = tokens_df.orderBy("doc_id").limit(int(max_series))
     src = auto_balance(tokens_df).select("doc_id", "tokens")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

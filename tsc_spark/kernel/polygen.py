@@ -63,7 +63,7 @@ DEFAULT_DIM_POLICY = {
     "harmonicity": {"accept_params": False, "fixed_value": 0.5},
     "attack": {"accept_params": False, "fixed_value": 0.5},
     "decay_sustain": {"accept_params": False, "fixed_value": 0.5},
-    "release": {"accept_params": False, "fixed_value": 0.0},
+    "release": {"accept_params": False, "fixed_value": 0.5},
     "legato": {"accept_params": False, "fixed_value": 0.0},
 }
 

@@ -1502,6 +1502,42 @@ FROM banded a
 JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval decontamination: docs sharing an exact 5-gram with a
+    'benchmark' slice (doc_id < 3 stands in for the eval set)."""
+    from tsc_spark.operators.dedup import contamination_flags
+
+    docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
+    bench = docs.filter(F.col("doc_id").isin("0", "1", "2"))
+    corpus = docs.filter(~F.col("doc_id").isin("0", "1", "2"))
+    return contamination_flags(corpus, bench, n=5).select(
+        "doc_id",
+        F.col("n_overlapping_ngrams").cast("long").alias("n_overlapping_ngrams"),
+        F.array_join("bench_doc_ids", ",").alias("bench_doc_ids"),
+    )
+
+
+SQL_DECONTAMINATE = f"""WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id NOT IN (0, 1, 2)
+),
+bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id IN (0, 1, 2)
+),
+{_sql_shingles(5, "corpus")},
+bench_sh AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS bench_doc_id,
+         {" || ' ' || ".join(f"w[i+{j}]" for j in range(1, 6))} AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) s,
+       unnest(generate_series(0, len(w)-5)) AS t(i)
+  WHERE len(w) >= 5
+)
+SELECT s.doc_id,
+       COUNT(DISTINCT s.shingle) AS n_overlapping_ngrams,
+       array_to_string(list_sort(list_distinct(list(b.bench_doc_id))), ',') AS bench_doc_ids
+FROM shingles s JOIN bench_sh b ON s.shingle = b.shingle
+GROUP BY 1"""
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup group resolution: LSH candidate pairs → connected
     components → canonical keep-doc per group (the dedup decision a
@@ -1621,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_ivf,
         "lsh_dedup_pairs": q_lsh_dedup_pairs,
         "dedup_groups": q_dedup_groups,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1687,4 +1724,5 @@ def _static_oracle_sql() -> dict[str, str]:
         "adjacent_roughness": SQL_ROUGHNESS,
         "lsh_dedup_pairs": SQL_LSH_DEDUP,
         "dedup_groups": SQL_DEDUP_GROUPS,
+        "decontaminate": SQL_DECONTAMINATE,
     }

@@ -154,3 +154,24 @@ def test_dedup_components_long_chain_converges(spark):
     rows = dedup_components(pairs, max_iters=40).collect()
     assert {r.component for r in rows} == {"d00"}
     assert sum(r.is_canonical for r in rows) == 1
+
+
+def test_contamination_flags_exact_ngram_overlap(spark):
+    from tsc_spark.operators.dedup import contamination_flags
+
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "the quick brown fox jumps over the lazy dog"),
+            ("c2", "completely unrelated words in this line here"),
+            ("c3", "prefix the quick brown fox jumps suffix words"),
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps across town")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: (r.n_overlapping_ngrams, list(r.bench_doc_ids))
+           for r in contamination_flags(corpus, bench, n=5).collect()}
+    # 'the quick brown fox jumps' is the only shared 5-gram
+    assert out == {"c1": (1, ["b1"]), "c3": (1, ["b1"])}

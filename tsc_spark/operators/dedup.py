@@ -29,6 +29,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash",
     "dedup_components",
+    "contamination_flags",
 ]
 
 
@@ -144,6 +145,28 @@ def lsh_candidate_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def contamination_flags(
+    docs: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any exact word
+    n-gram with a benchmark/eval set.
+
+    The standard eval-overlap detector: shingle both sides, broadcast
+    the (small) benchmark shingle set, equi-join — a corpus doc is
+    flagged with how many distinct benchmark n-grams it contains and
+    the benchmark docs it overlaps.  Never a text cross join; corpus
+    side is one shingle pass."""
+    corpus_sh = shingles(docs, n)
+    bench_sh = shingles(benchmark, n).select(
+        F.col("doc_id").alias("bench_doc_id"), "shingle"
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_overlapping_ngrams"),
+        F.sort_array(F.collect_set("bench_doc_id")).alias("bench_doc_ids"),
     )
 
 

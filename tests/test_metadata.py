@@ -40,3 +40,22 @@ class TestMetadataScan:
         df = read_metadata_csv(spark, path)
         # label stays a string even when the file content is numeric
         assert dict(df.dtypes)["label"] == "string"
+
+
+class TestFallbackScan:
+    def test_first_readable_path_wins(self, spark, tmp_path, tokens_df):
+        from tsc_spark.sources.metadata import read_with_fallback
+
+        good = str(tmp_path / "good")
+        tokens_df.limit(5).write.parquet(good)
+        df = read_with_fallback(spark, [str(tmp_path / "missing"), good])
+        assert df.count() == 5
+
+    def test_all_paths_failing_raises(self, spark, tmp_path):
+        import pytest
+        from pyspark.errors import AnalysisException
+
+        from tsc_spark.sources.metadata import read_with_fallback
+
+        with pytest.raises(AnalysisException):
+            read_with_fallback(spark, [str(tmp_path / "a"), str(tmp_path / "b")])

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-__all__ = ["METADATA_SCHEMA", "read_metadata_csv", "attach_metadata"]
+__all__ = ["METADATA_SCHEMA", "read_metadata_csv", "attach_metadata", "read_with_fallback"]
 
 METADATA_SCHEMA = StructType(
     [
@@ -52,3 +52,26 @@ def attach_metadata(docs: DataFrame, metadata: DataFrame) -> DataFrame:
     return docs.join(
         F.broadcast(meta), docs["doc_id"] == meta["_m_doc_id"], "left"
     ).drop("_m_doc_id")
+
+
+def read_with_fallback(spark: SparkSession, paths: list[str], format: str = "parquet") -> DataFrame:
+    """Scan with ordered source fallback (SURVEY S2).
+
+    The reference's query path falls back from the cloud InfluxDB to the
+    local instance when auth/reachability fails
+    (/root/reference/src/controllers/time_series_controller.jl query_db
+    connection fallback); the engine analogue is an ordered list of
+    table locations (e.g. primary Iceberg catalog, then a replica
+    path) — the first readable one wins, and the error of the LAST
+    attempt propagates if none are."""
+    from pyspark.errors import AnalysisException
+
+    last_err: Exception | None = None
+    for p in paths:
+        try:
+            df = spark.read.format(format).load(p)
+            df.schema  # force resolution so a missing path fails HERE
+            return df
+        except AnalysisException as e:  # path missing / unreadable
+            last_err = e
+    raise last_err if last_err is not None else ValueError("no paths given")

@@ -268,12 +268,19 @@ def main() -> None:
         names = only.split(",") if only else BENCH_QUERY_NAMES
         queries = run_query_bench(spark, sf_dir, names)
         total = round(sum(v for v in queries.values() if v > 0) + pipe["rollup_sec"], 3)
+        try:
+            load1 = round(os.getloadavg()[0], 1)
+        except OSError:
+            load1 = None
         print(json.dumps({
             "metric": "ingest_to_tier2_rollup_plus_query_suite_seconds",
             "value": total,
             "unit": "sec",
             "queries": queries,
             "sf": float(sf),
+            # shared-machine noise indicator: clean-machine reference
+            # numbers + repro commands live in BASELINE.md
+            "load_avg_1m_at_end": load1,
             **pipe,
         }))
     finally:

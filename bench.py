@@ -257,12 +257,14 @@ def main() -> None:
         if args.pipeline_only and args.kernel == "cluster":
             pipe = run_cluster_bench(spark, args.docs)
             print(json.dumps({"metric": "cluster_points_per_sec",
-                              "value": pipe["cluster_sec"], "unit": "sec", **pipe}))
+                              "value": pipe["cluster_points_per_sec"],
+                              "unit": "points/sec", **pipe}))
             return
         pipe = run_pipeline_bench(spark, args.docs)
         if args.pipeline_only:
             print(json.dumps({"metric": "rollup_points_per_sec",
-                              "value": pipe["rollup_sec"], "unit": "sec", **pipe}))
+                              "value": pipe["rollup_points_per_sec"],
+                              "unit": "points/sec", **pipe}))
             return
         only = os.environ.get("TSC_BENCH_QUERIES")
         names = only.split(",") if only else BENCH_QUERY_NAMES

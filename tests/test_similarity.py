@@ -175,3 +175,86 @@ def test_contamination_flags_exact_ngram_overlap(spark):
            for r in contamination_flags(corpus, bench, n=5).collect()}
     # 'the quick brown fox jumps' is the only shared 5-gram
     assert out == {"c1": (1, ["b1"]), "c3": (1, ["b1"])}
+
+
+def test_dedup_components_adversarial_chain_log_rounds(spark):
+    """A 1000-doc chain has diameter 999: plain neighbor-min label
+    propagation would need ~999 rounds, the pointer-jump (doubling) step
+    must converge in O(log n) — well under 15 rounds."""
+    docs = [f"d{i:04d}" for i in range(1000)]
+    pairs = spark.createDataFrame(
+        list(zip(docs[:-1], docs[1:])), "doc_a string, doc_b string"
+    )
+    from tsc_spark.operators.dedup import dedup_components
+
+    stats = {}
+    rows = dedup_components(pairs, max_iters=20, stats=stats).collect()
+    assert stats["converged"]
+    assert stats["rounds"] <= 15
+    assert {r.component for r in rows} == {"d0000"}
+    assert sum(r.is_canonical for r in rows) == 1
+    assert len(rows) == 1000
+
+
+def test_ngram_jaccard_posting_list_cap_bounds_pairs(spark):
+    """Degenerate corpus: every doc shares one boilerplate shingle.
+    Uncapped, the inverted index expands ~n²/2 pairs off that single
+    posting list; with the doc-frequency cap the stop-shingle is dropped
+    and only genuine near-dups pair up."""
+    boiler = "all rights reserved worldwide"
+    docs = [(f"d{i:03d}", f"{boiler} unique content piece number {i}")
+            for i in range(60)]
+    # one genuine near-dup pair sharing their distinctive tail
+    docs.append(("dupA", f"{boiler} shared telltale phrase ending here"))
+    docs.append(("dupB", f"{boiler} shared telltale phrase ending here"))
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    from tsc_spark.operators.dedup import ngram_jaccard_pairs
+
+    # uncapped: the boilerplate 4-gram joins every doc with every doc
+    uncapped = ngram_jaccard_pairs(df, n=4, threshold=0.0, max_doc_freq=None)
+    assert uncapped.count() > 1000
+    # capped: only the true dup pair survives candidate generation
+    capped = ngram_jaccard_pairs(df, n=4, threshold=0.5, max_doc_freq=10)
+    rows = capped.collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [("dupA", "dupB")]
+    assert rows[0].jaccard == 1.0
+    # and the candidate set itself is bounded, not just the thresholded
+    # output: with the cap no posting list exceeds max_doc_freq, so even
+    # at threshold 0 the pair count stays tiny
+    assert ngram_jaccard_pairs(df, n=4, threshold=0.0, max_doc_freq=10).count() < 10
+
+
+def test_adaptive_n_planes_bounds_bucket_population():
+    """Expected bucket population N/2^p stays ≤ target (until the int32
+    hi-clamp), instead of growing linearly as with a fixed plane count."""
+    from tsc_spark.operators.similarity import adaptive_n_planes
+
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        p = adaptive_n_planes(n, target_bucket_size=64)
+        if p < 24:  # below the clamp the guarantee is exact
+            assert n / (1 << p) <= 64, (n, p)
+    # monotone in corpus size, clamped to [4, 24]
+    assert adaptive_n_planes(0) == 4
+    assert adaptive_n_planes(100) == 4
+    assert adaptive_n_planes(10**12) == 24
+    ps = [adaptive_n_planes(10**k) for k in range(2, 13)]
+    assert ps == sorted(ps)
+
+
+def test_near_dup_multi_table_finds_planted_pair(spark):
+    """Two near-identical vectors among random noise are recovered by the
+    banded multi-table LSH + exact verify."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.standard_normal(16).tolist()) for i in range(1, 40)]
+    base = rng.standard_normal(16)
+    near = base + rng.standard_normal(16) * 0.01
+    vecs.append((100, base.tolist()))
+    vecs.append((101, near.tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    from tsc_spark.operators.similarity import near_dup_embeddings
+
+    rows = near_dup_embeddings(emb, dim=16, threshold=0.99).collect()
+    assert [(r.vec_a, r.vec_b) for r in rows] == [(100, 101)]
+    assert rows[0].cosine > 0.99

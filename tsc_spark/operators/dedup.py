@@ -71,13 +71,35 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.8
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
 
     Inverted-index self-join on shingles (equi-join; only docs sharing a
-    shingle ever meet) — never a cross join."""
+    shingle ever meet) — never a cross join.
+
+    ``max_doc_freq`` is the posting-list skew cap: a shingle that occurs
+    in more than this many docs (boilerplate — "all rights reserved …")
+    is dropped from the shingle universe *before* both the intersection
+    join and the per-doc sizes, because its within-key pair expansion is
+    quadratic in its document frequency while it carries no dedup signal
+    (standard stop-shingle practice).  The cap bounds any single join
+    key's output at max_doc_freq² regardless of corpus size.  Pass
+    ``None`` for the exact uncapped semantics."""
     sh = shingles(docs, n)
+    if max_doc_freq is not None:
+        # the hot set is tiny at any scale (few shingles exceed the cap),
+        # so the anti-join broadcasts
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > int(max_doc_freq))
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
@@ -170,20 +192,32 @@ def contamination_flags(
     )
 
 
-def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    probe_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
     """Resolve near-dup pairs into dedup groups: (doc_id, component,
     is_canonical) where ``component`` is the minimum doc_id reachable
     through the pair graph and the canonical doc is the one kept.
 
     The group-resolution step every dedup pipeline needs after candidate
-    pairing: min-label propagation to fixpoint — each iteration is one
-    equi-join + groupBy (min label among neighbors), with
-    ``localCheckpoint`` breaking lineage so the plan stays constant-size
-    across iterations.  Converges in O(diameter) rounds; near-dup
-    components are shallow in practice (the production-scale variant is
-    the large-star/small-star CC algorithm — same join shape, fewer
-    rounds on adversarially long chains, which ``max_iters`` bounds
-    here).  Deterministic: labels are lexicographic doc_id minima."""
+    pairing.  Each round is (a) a neighbor-min step — one equi-join +
+    groupBy taking the smallest label among neighbors — followed by (b)
+    a pointer-jump step — ``comp ← comp(comp)``, one more equi-join —
+    the doubling move of large-star/small-star-style CC algorithms
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    Neighbor-min alone needs O(diameter) rounds (a 1000-doc chain takes
+    ~1000); the pointer jump halves every label's distance-to-root each
+    round, so convergence is O(log diameter) — ``max_iters=20`` covers
+    diameters past 2^20.  ``localCheckpoint`` breaks lineage so the plan
+    stays constant-size across iterations; the convergence probe (an
+    any-changed count) runs every ``probe_every`` rounds since each probe
+    is itself a job.  Deterministic: labels are lexicographic doc_id
+    minima.  Warns on stderr if the loop exits without converging
+    (labels may then disagree with exact transitive closure); pass a
+    ``stats`` dict to receive {"rounds": int, "converged": bool}."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -196,33 +230,62 @@ def dedup_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("comp", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(int(max_iters)):
+    converged = False
+    rounds = 0
+    for it in range(int(max_iters)):
+        rounds = it + 1
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
+        ).select(
+            labels["doc_id"],
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jump: comp ← comp(comp).  Every comp value is itself a
+        # doc_id present in `labels` (labels start as self and only ever
+        # take minima over existing labels), so the inner join keeps
+        # every row.
+        ptr = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("comp").alias("p_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
-            .select(
-                labels["doc_id"],
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
-                ).alias("comp"),
-            )
+            stepped.join(ptr, stepped["comp"] == ptr["p_id"])
+            .select(stepped["doc_id"], F.col("p_comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        probe = (it + 1) % max(int(probe_every), 1) == 0 or it == max_iters - 1
+        if probe:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
         labels = new_labels
-        if changed == 0:
-            break
     edges.unpersist()
+    if not converged:
+        import sys
+
+        print(
+            f"WARNING: dedup_components did not converge in {max_iters} "
+            "rounds; components may be under-merged vs exact transitive "
+            "closure — raise max_iters",
+            file=sys.stderr,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels.select(
         "doc_id",
         F.col("comp").alias("component"),

@@ -22,6 +22,7 @@ __all__ = [
     "ivf_fit_centroids_distributed",
     "ivf_assign",
     "ivf_topk",
+    "adaptive_n_planes",
     "near_dup_embeddings",
 ]
 
@@ -301,24 +302,79 @@ def ivf_topk(
     return cosine_topk(cand.drop("ivf_list"), query_vec, k)
 
 
+def adaptive_n_planes(
+    n_rows: int, target_bucket_size: int = 64, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count so the *expected* bucket population N/2^p stays at or
+    under ``target_bucket_size`` — within-bucket pair expansion is then
+    bounded ~N·target/2 (linear in N) instead of ~N²/2^p with a fixed p.
+    Clamped to [lo, hi]; hi=24 keeps bucket ids in int32."""
+    import math
+
+    if n_rows <= 0:
+        return lo
+    need = math.ceil(math.log2(max(n_rows / float(target_bucket_size), 2.0)))
+    return min(hi, max(lo, need))
+
+
 def near_dup_embeddings(
-    emb: DataFrame, dim: int, threshold: float = 0.95, n_planes: int = 8
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+    n_tables: int = 4,
+    target_bucket_size: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via bucketed self-join + exact verify."""
-    b = hyperplane_buckets(emb, dim, n_planes)
-    pairs = (
-        b.alias("a")
-        .join(b.alias("b"), "bucket")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-    )
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
-    )
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
+    """Embedding-cosine near-dup pairs via banded multi-table LSH + exact
+    verify.
+
+    ``n_planes`` defaults to ``adaptive_n_planes(count)`` — derived from
+    the corpus size so expected bucket population stays constant as N
+    grows (a fixed plane count makes within-bucket pairs ~N²/2^p, a
+    stage-killer at 10⁹ vectors).  Deeper buckets lose single-table
+    recall (each plane keeps a θ/π-angle pair with prob 1-θ/π), so
+    ``n_tables`` independent plane sets (seeds seed..seed+L-1) are
+    unioned — recall = 1-(1-(1-θ/π)^p)^L stays controlled while the
+    candidate volume stays ~L·N·target/2.  Only (vec_id, bucket) flows
+    through the self-joins; embeddings re-attach for the exact-cosine
+    verify (native fold, bit-matching the SQL oracle's sequential SUM)."""
+    if n_planes is None:
+        # one count job (parquet scans serve this from footer stats)
+        n_planes = adaptive_n_planes(emb.count(), target_bucket_size)
+    ids = emb.select("vec_id", "embedding")
+    cand = None
+    for t in range(int(n_tables)):
+        b = hyperplane_buckets(emb, dim, n_planes, seed=seed + t).select(
+            "vec_id", "bucket"
         )
-        .filter(F.col("cosine") >= threshold)
+        p = (
+            b.alias("a")
+            .join(b.alias("b"), "bucket")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    pairs = cand.join(
+        ids.withColumnRenamed("vec_id", "vec_a").withColumnRenamed(
+            "embedding", "emb_a"
+        ),
+        "vec_a",
+    ).join(
+        ids.withColumnRenamed("vec_id", "vec_b").withColumnRenamed(
+            "embedding", "emb_b"
+        ),
+        "vec_b",
     )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(cos, 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

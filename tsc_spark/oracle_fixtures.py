@@ -525,15 +525,41 @@ cand AS (
     probes = np.argsort(-(cents @ qn))[:4].tolist()
     sims = "[" + ", ".join(_dot_sql("embedding", cents[c]) for c in range(cents.shape[0])) + "]"
     # --- embedding near-dups (twin of similarity.near_dup_embeddings) ---
+    # mirrors the multi-table adaptive scheme: n_planes derived from the
+    # corpus count exactly like adaptive_n_planes, one plane matrix per
+    # table (seeds 7..10), candidates = distinct union over tables
+    from .operators.similarity import adaptive_n_planes
+
+    nd_n = sum(1 for vid, _ in rows if vid != 0)
+    nd_planes_n = adaptive_n_planes(nd_n)
+    nd_tables = [
+        np.random.default_rng(7 + t).standard_normal((nd_planes_n, dim))
+        for t in range(4)
+    ]
+    nd_union = "\n    UNION ALL\n".join(
+        f"""    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM (SELECT vec_id, {_bucket_sql("embedding", p)} AS bucket
+          FROM embeddings WHERE vec_id != 0) a
+    JOIN (SELECT vec_id, {_bucket_sql("embedding", p)} AS bucket
+          FROM embeddings WHERE vec_id != 0) b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id"""
+        for p in nd_tables
+    )
     out["near_dup_embeddings"] = f"""
-WITH b AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         {_bucket_sql("embedding", planes)} AS bucket
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
   FROM embeddings WHERE vec_id != 0
 ),
+cand AS (
+  SELECT DISTINCT vec_a, vec_b FROM (
+{nd_union}
+  )
+),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.emb AS ea, b.emb AS eb
-  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b, ea.emb AS ea, eb.emb AS eb
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b
 ),
 scored AS (
   SELECT vec_a, vec_b,
@@ -565,15 +591,27 @@ cand AS (
 
 
 def all_fixture_sql(sf_dir: str | None = None) -> dict[str, str]:
-    """Every fixture oracle; failures degrade to rows-only (key omitted)."""
+    """Every fixture oracle; failures degrade to rows-only — loudly, so a
+    weakened correctness gate is visible in driver logs."""
+    import sys
+
     out = {}
     for name in FIXTURE_BUILDERS:
         try:
             out[name] = fixture_sql(name, sf_dir)
-        except Exception:
-            pass
+        except Exception as exc:
+            print(
+                f"WARNING: fixture oracle for '{name}' failed "
+                f"({type(exc).__name__}: {exc}); degraded to rows-only check",
+                file=sys.stderr,
+            )
     try:
         out.update(ann_oracle_sql(sf_dir))
-    except Exception:
-        pass
+    except Exception as exc:
+        print(
+            "WARNING: ANN literal oracles failed "
+            f"({type(exc).__name__}: {exc}); ann_topk_lsh/ann_topk_ivf/"
+            "near_dup_embeddings degraded to rows-only checks",
+            file=sys.stderr,
+        )
     return out

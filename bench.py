@@ -250,6 +250,7 @@ def main() -> None:
         }))
         return
 
+    t_main = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     spark = _spark(args.cpus)
@@ -274,6 +275,8 @@ def main() -> None:
             load1 = round(os.getloadavg()[0], 1)
         except OSError:
             load1 = None
+        from tsc_spark.config import processing_time_s
+
         print(json.dumps({
             "metric": "ingest_to_tier2_rollup_plus_query_suite_seconds",
             "value": total,
@@ -283,6 +286,8 @@ def main() -> None:
             # shared-machine noise indicator: clean-machine reference
             # numbers + repro commands live in BASELINE.md
             "load_avg_1m_at_end": load1,
+            # reference-compatible response stamp (config.jl:17)
+            "processingTime": processing_time_s(t_main),
             **pipe,
         }))
     finally:

@@ -21,6 +21,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -44,10 +45,15 @@ def main() -> None:
                     help="override master (default: env SPARK_GRAFT_CPUS local)")
     args = ap.parse_args()
 
+    from tsc_spark.config import processing_time_s
     from tsc_spark.plans.pipeline import ingest, pipeline_metrics, run_pipeline
     from tsc_spark.session import get_spark
 
     spark = get_spark("tsc_pipeline", master=args.master)
+    t_run = time.time()
+    # per-stage processing_time stamps — the reference stamps every compute
+    # response with processingTime (time_series_controller.jl:2240,2320)
+    stages: list[dict] = []
     try:
         if not os.path.exists(os.path.join(args.base_dir, "_ingest.json")):
             if args.synth_docs:
@@ -58,8 +64,12 @@ def main() -> None:
                 tokens = spark.read.parquet(args.input)
             else:
                 ap.error("one of --input / --synth-docs is required for a fresh run")
+            t0 = time.time()
             ingest(spark, tokens, args.base_dir, n_buckets=args.buckets)
+            stages.append({"stage": "ingest",
+                           "processing_time": processing_time_s(t0)})
 
+        t0 = time.time()
         written = run_pipeline(
             spark,
             args.base_dir,
@@ -68,13 +78,18 @@ def main() -> None:
             with_timeline=args.timeline,
             with_encoded=args.encoded,
         )
+        stages.append({"stage": "rollup",
+                       "processing_time": processing_time_s(t0)})
         retention_records = []
         if args.retention:
             from tsc_spark.operators.retention import apply_retention
 
             keeps = [int(v) for v in args.retention.split(",")]
             policy = {tier: keep for tier, keep in enumerate(keeps)}
+            t0 = time.time()
             retention_records = apply_retention(spark, args.base_dir, policy)
+            stages.append({"stage": "retention",
+                           "processing_time": processing_time_s(t0)})
 
         all_manifests = pipeline_metrics(args.base_dir)
         done_points = sum(m["points"] for m in all_manifests)
@@ -86,6 +101,8 @@ def main() -> None:
             "wall_seconds_total": round(done_secs, 3),
             "points_per_sec_aggregate": round(done_points / done_secs, 1) if done_secs else None,
             "retention_buckets_swept": len(retention_records),
+            "stages": stages,
+            "processingTime": processing_time_s(t_run),
         }))
     finally:
         spark.stop()

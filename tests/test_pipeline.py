@@ -73,3 +73,36 @@ class TestPipeline:
         metrics = pipeline_metrics(base_dir)
         assert len(metrics) == 4
         assert all("points_per_sec" in m and "doc_id_range" in m for m in metrics)
+
+
+def test_cli_emits_processing_time_stage_records(tmp_path):
+    """The pipeline CLI stamps per-stage processing_time and a total
+    processingTime, reference-compatibly rounded to 2 digits
+    (time_series_controller.jl:2240, config.jl:17)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "run_pipeline.py"),
+         "--synth-docs", "200", "--buckets", "2", "--master", "local[2]",
+         "--retention", "8,4,2", "--base-dir", str(tmp_path / "p")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    stage_names = [s["stage"] for s in out["stages"]]
+    assert stage_names == ["ingest", "rollup", "retention"]
+    for s in out["stages"]:
+        assert isinstance(s["processing_time"], float)
+        assert s["processing_time"] == round(s["processing_time"], 2)
+    assert out["processingTime"] >= max(s["processing_time"] for s in out["stages"])
+
+
+def test_processing_time_rounding():
+    from tsc_spark.config import PROCESSING_TIME_DIGITS, processing_time_s
+
+    assert PROCESSING_TIME_DIGITS == 2
+    assert processing_time_s(10.0, now=11.236) == 1.24
+    assert processing_time_s(10.0, now=11.2) == 1.2

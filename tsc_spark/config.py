@@ -105,3 +105,19 @@ DEFAULT_SHUFFLE_PARTITIONS: int = 32
 ARROW_MAX_RECORDS_PER_BATCH: int = 256
 # docs with n_tok above this are routed to the heavy-doc partition lane
 HEAVY_DOC_TOKEN_THRESHOLD: int = 4096
+
+
+# --- telemetry (reference src/config.jl:17) ---
+PROCESSING_TIME_DIGITS: int = 2
+
+
+def processing_time_s(t0: float, now: float | None = None) -> float:
+    """Elapsed seconds since ``t0`` rounded to PROCESSING_TIME_DIGITS —
+    the per-response ``processingTime`` stamp every reference compute
+    endpoint emits (src/controllers/time_series_controller.jl:2240,2320;
+    rounding src/config.jl:17).  Python round() is banker's rounding,
+    matching Julia's round()."""
+    import time as _time
+
+    return round((now if now is not None else _time.time()) - t0,
+                 PROCESSING_TIME_DIGITS)

@@ -87,7 +87,7 @@ def test_match_series_rollback_equals_fresh_copy(db_toks):
     before = pickle.dumps(seed)
     tl_before = sorted((ws, cid, list(si)) for ws, cid, si in seed.timeline())
     n_before, width_before, ctr_before = seed.n, seed.value_width, seed.cluster_id_counter
-    tasks_before = [(list(k), l) for k, l in seed.tasks]
+    tasks_before = [(list(k), l) for k, l, _node in seed.tasks]
 
     fresh = pickle.loads(before)
     expected = match_series(fresh, db_toks, copy_seed=False)
@@ -99,7 +99,7 @@ def test_match_series_rollback_equals_fresh_copy(db_toks):
     assert seed.n == n_before
     assert seed.value_width == width_before
     assert seed.cluster_id_counter == ctr_before
-    assert [(list(k), l) for k, l in seed.tasks] == tasks_before
+    assert [(list(k), l) for k, l, _node in seed.tasks] == tasks_before
     assert sorted((ws, cid, list(si)) for ws, cid, si in seed.timeline()) == tl_before
 
 

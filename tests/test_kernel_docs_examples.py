@@ -84,7 +84,8 @@ class TestValidInvalidSplit:
         assert children[ids[0]].si == [0, 4]
         assert children[ids[1]].si == [2]
         # valid cluster queued for extension
-        assert mgr.tasks == [([0, ids[0]], 3)]
+        assert [(k, l) for k, l, _n in mgr.tasks] == [([0, ids[0]], 3)]
+        assert mgr.tasks[0][2] is children[ids[0]]
 
 
 class TestRecencyWeights:

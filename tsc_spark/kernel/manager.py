@@ -69,12 +69,15 @@ class ClusterNode:
     ``None`` for the degenerate empty-representative seed (...:185-189).
     """
 
-    __slots__ = ("si", "cc", "rep")
+    __slots__ = ("si", "cc", "rep", "rsum")
 
     def __init__(self, si: list[int], rep: Optional[np.ndarray]):
         self.si: list[int] = si
         self.cc: dict[int, "ClusterNode"] = {}
         self.rep: Optional[np.ndarray] = rep
+        # running member-window sum (scalar manager only; lazily built on
+        # first merge) — rep == rsum / len(si).  Never mutated in place.
+        self.rsum: Optional[np.ndarray] = None
 
 
 # journal entry tags (rollback; reference ...:46-99)
@@ -279,6 +282,39 @@ class ClusterManager:
         acc /= float(len(starts))
         return acc
 
+    def _rep_merge(self, node: ClusterNode, length: int) -> np.ndarray:
+        """Representative after ``node.si`` gained its last member: the
+        running-sum incremental average.
+
+        Sequential member-order summation (the reference's op order,
+        ...:387-445) means sum(si) == sum(si[:-1]) + window(si[-1]) with
+        identical IEEE additions per element, so updating a cached
+        running sum is *bit-equal* to re-summing every member while
+        costing O(L) instead of O(k·L).  The cache is (re)built in
+        insertion order on first merge (seed nodes predate it) or when
+        absent; the poly subclass overrides this back to full
+        ``_average_windows`` (ragged set members have no flat sum)."""
+        k = len(node.si)
+        rs = node.rsum
+        if rs is None or rs.shape[0] != length:
+            length = int(length)
+            if length <= 16:
+                buf = self._buf
+                acc = [0.0] * length
+                for s in node.si:  # insertion order == reference order
+                    w = buf[s : s + length].tolist()
+                    for i in range(length):
+                        acc[i] += w[i]
+                rs = np.array(acc, dtype=np.float64)
+            else:
+                rs = np.zeros(length, dtype=np.float64)
+                for s in node.si:
+                    rs += self._window(s, length)
+        else:
+            rs = rs + self._window(node.si[-1], length)
+        node.rsum = rs
+        return rs / float(k)
+
     # ------------------------------------------------------------------
     # contextual halves value-width (reference ...:1051-1094)
     # ------------------------------------------------------------------
@@ -315,7 +351,7 @@ class ClusterManager:
         self._recording = True
         self._journal.clear()
         self._snapshot = (
-            [(list(k), l) for (k, l) in self.tasks],
+            [(list(k), l, node) for (k, l, node) in self.tasks],
             self.cluster_id_counter,
             {ws: set(s) for ws, s in self.updated_dist.items()},
             {ws: set(s) for ws, s in self.updated_qty.items()},
@@ -332,6 +368,7 @@ class ClusterManager:
                     self._start_to_root.pop(s, None)
             elif tag == _J_AS:
                 entry[1].rep = entry[2]
+                entry[1].rsum = entry[4]
                 root_cid = entry[3]
                 if root_cid is not None:  # restore root rep mirror
                     row = self._root_row[root_cid]
@@ -396,7 +433,10 @@ class ClusterManager:
 
     @staticmethod
     def _add_updated(target: dict[int, set[int]], ws: int, cid: int) -> None:
-        target.setdefault(ws, set()).add(cid)
+        s = target.get(ws)
+        if s is None:
+            target[ws] = s = set()
+        s.add(cid)
 
     def process_data(self) -> None:
         """Cluster the whole series (reference process_data!, ...:504-512)."""
@@ -417,8 +457,11 @@ class ClusterManager:
         current_tasks = list(self.tasks)
         self.tasks = []
 
-        for keys_to_parent, length0 in current_tasks:
-            parent = self._dig(keys_to_parent)
+        # tasks carry a direct reference to their target node (3rd slot)
+        # so each step skips the root-to-node _dig re-walk; node objects
+        # survive rollback (creates are undone, existing nodes are never
+        # replaced), so snapshot-restored tasks stay valid.
+        for keys_to_parent, length0, parent in current_tasks:
             if parent is None:
                 continue
             new_length = length0 + 1
@@ -464,8 +507,11 @@ class ClusterManager:
         self, parent, latest_seq, max_distance, latest_start, new_length, keys_to_parent
     ) -> None:
         # nearest child by (distance, cluster_id) — reference ...:1144-1157;
-        # the (d, id) min is iteration-order independent.
-        cids = sorted(parent.cc)
+        # the (d, id) min is iteration-order independent.  Child ids are
+        # inserted in ascending cluster_id_counter order and rollback only
+        # deletes the newest, so dict order IS ascending — no sort needed
+        # (argmin first-hit == smallest-cid tie-break).
+        cids = list(parent.cc)
         if len(cids) >= self._batch_threshold:
             reps = np.stack([parent.cc[c].rep for c in cids])
             dists = self._seq_dists_batch(reps, latest_seq)
@@ -473,6 +519,39 @@ class ClusterManager:
             best_id = cids[i]
             best_child = parent.cc[best_id]
             min_distance = float(dists[i])
+        elif new_length <= 16 and type(self) is ClusterManager:
+            # scalar micro-path with the query window hoisted out of the
+            # per-child loop; identical IEEE op order to euclidean_distance
+            best_id = -1
+            best_child = None
+            min_distance = math.inf
+            w = self.value_width
+            bv = latest_seq.tolist()
+            nb = len(bv)
+            for cid in cids:
+                child = parent.cc[cid]
+                rep = child.rep
+                if rep is None:
+                    L = self.min_window_size
+                    if nb < L:
+                        L = nb
+                    d = math.sqrt(float(L))
+                else:
+                    av = rep.tolist()
+                    L = len(av)
+                    if nb < L:
+                        L = nb
+                    s = 0.0
+                    for i in range(L):
+                        dd = abs(av[i] - bv[i]) / w
+                        if dd > 1.0:
+                            dd = 1.0
+                        s += dd * dd
+                    d = math.sqrt(s)
+                if d < min_distance:
+                    min_distance = d
+                    best_child = child
+                    best_id = cid
         else:
             best_id = -1
             best_child = None
@@ -490,12 +569,13 @@ class ClusterManager:
             best_child.si.append(latest_start)
             self._record((_J_SI, best_child, None))
             old_rep = best_child.rep
-            best_child.rep = self._average_windows(best_child.si, new_length)
-            self._record((_J_AS, best_child, old_rep, None))
+            old_rsum = best_child.rsum
+            best_child.rep = self._rep_merge(best_child, new_length)
+            self._record((_J_AS, best_child, old_rep, None, old_rsum))
             self._add_updated(self.updated_qty, new_length, best_id)
             if self.calc_dist_on_add:
                 self._add_updated(self.updated_dist, new_length, best_id)
-            self.tasks.append((keys_to_parent + [best_id], new_length))
+            self.tasks.append((keys_to_parent + [best_id], new_length, best_child))
         else:
             cid = self.cluster_id_counter
             parent.cc[cid] = ClusterNode([latest_start], latest_seq.copy())
@@ -520,6 +600,23 @@ class ClusterManager:
                 ok = (dists / max_distance) <= self.mtr
             for s, good in zip(valid_si, ok):
                 (valid_group if good else invalid_group).append(s)
+        elif new_length <= 16 and type(self) is ClusterManager:
+            # scalar micro-path, query window hoisted (cf. _process_existing)
+            w = self.value_width
+            bv = latest_seq.tolist()
+            buf = self._buf
+            mtr = self.mtr
+            for s in valid_si:
+                av = buf[s : s + new_length].tolist()
+                acc = 0.0
+                for i in range(new_length):
+                    dd = abs(av[i] - bv[i]) / w
+                    if dd > 1.0:
+                        dd = 1.0
+                    acc += dd * dd
+                d = math.sqrt(acc)
+                ratio = 0.0 if max_distance == 0.0 else d / max_distance
+                (valid_group if ratio <= mtr else invalid_group).append(s)
         else:
             for s in valid_si:
                 d = self.euclidean_distance(self._window(s, new_length), latest_seq)
@@ -529,12 +626,13 @@ class ClusterManager:
         if valid_group:
             starts = valid_group + [latest_start]
             cid = self.cluster_id_counter
-            parent.cc[cid] = ClusterNode(starts, self._average_windows(starts, new_length))
+            node = ClusterNode(starts, self._average_windows(starts, new_length))
+            parent.cc[cid] = node
             self._record((_J_CC, parent.cc, cid))
             self._add_updated(self.updated_dist, new_length, cid)
             if self.recency > 0.0:
                 self._add_updated(self.updated_qty, new_length, cid)
-            self.tasks.append((keys_to_parent + [cid], new_length))
+            self.tasks.append((keys_to_parent + [cid], new_length, node))
             self.cluster_id_counter += 1
         else:
             cid = self.cluster_id_counter
@@ -607,14 +705,15 @@ class ClusterManager:
             self._record((_J_SI, best, best_id))
             self._start_to_root[latest_start] = best_id
             old_rep = best.rep
-            best.rep = self._average_windows(best.si, mw)
+            old_rsum = best.rsum
+            best.rep = self._rep_merge(best, mw)
             self._root_reps[self._root_row[best_id]] = best.rep
             self._root_empty.discard(best_id)
-            self._record((_J_AS, best, old_rep, best_id))
+            self._record((_J_AS, best, old_rep, best_id, old_rsum))
             self._add_updated(self.updated_qty, mw, best_id)
             if self.calc_dist_on_add:
                 self._add_updated(self.updated_dist, mw, best_id)
-            self.tasks.append(([best_id], mw))
+            self.tasks.append(([best_id], mw, best))
         else:
             cid = self.cluster_id_counter
             node = ClusterNode([latest_start], latest_seq.copy())

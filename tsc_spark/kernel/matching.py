@@ -61,26 +61,52 @@ def _match_contains(outer, inner) -> bool:
 
 def filter_contained_matches(matches):
     """Dedup (q_start, db_start, ws) then drop strictly-contained matches;
-    sort by (q_start, db_start, -ws).  Reference ...:2005-2040."""
+    sort by (q_start, db_start, -ws).  Reference ...:2005-2040.
+
+    Containment is a pairwise predicate over the deduped *set* (the
+    output is fully re-sorted, so dedup order is irrelevant); above a
+    small size the m×m scan runs as one numpy broadcast instead of an
+    interpreted double loop — identical kept set, integer-exact."""
     if not matches:
         return []
-    deduped = []
-    seen = set()
-    for m in matches:
-        if m not in seen:
-            seen.add(m)
-            deduped.append(m)
-    kept = []
-    for i, m in enumerate(deduped):
-        contained = False
-        for j, other in enumerate(deduped):
-            if i != j and _match_contains(other, m):
-                contained = True
-                break
-        if not contained:
-            kept.append(m)
-    kept.sort(key=lambda m: (m[0], m[1], -m[2]))
-    return kept
+    if len(matches) < 24:
+        deduped = []
+        seen = set()
+        for m in matches:
+            if m not in seen:
+                seen.add(m)
+                deduped.append(m)
+        kept = []
+        for i, m in enumerate(deduped):
+            contained = False
+            for j, other in enumerate(deduped):
+                if i != j and _match_contains(other, m):
+                    contained = True
+                    break
+            if not contained:
+                kept.append(m)
+        kept.sort(key=lambda m: (m[0], m[1], -m[2]))
+        return kept
+
+    import numpy as np
+
+    arr = np.unique(np.asarray(matches, dtype=np.int64), axis=0)
+    q, d, w = arr[:, 0], arr[:, 1], arr[:, 2]
+    oq, iq = q[:, None], q[None, :]
+    od, idx = d[:, None], d[None, :]
+    ow, iw = w[:, None], w[None, :]
+    contains = (
+        (oq <= iq)
+        & (od <= idx)
+        & (iq + iw <= oq + ow)
+        & (idx + iw <= od + ow)
+        & ((ow > iw) | (oq != iq) | (od != idx))
+    )
+    # diagonal is False by the last clause (a match never strictly
+    # contains itself)
+    kept = arr[~contains.any(axis=0)]
+    order = np.lexsort((-kept[:, 2], kept[:, 1], kept[:, 0]))
+    return [tuple(int(v) for v in row) for row in kept[order]]
 
 
 def match_score(matches) -> list[int]:

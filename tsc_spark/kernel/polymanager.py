@@ -199,6 +199,11 @@ class PolyClusterManager(ClusterManager):
             seqs, ordered_vector=self.point_distance_mode == "ordered_vector"
         )
 
+    def _rep_merge(self, node: ClusterNode, length: int):
+        # ragged set members have no flat running sum — full re-average
+        # (the scalar base class's incremental-sum path doesn't apply)
+        return self._average_windows(node.si, length)
+
     # ------------------------------------------------------------------
     # contextual halves width over flattened set members (...:1063-1094)
     # ------------------------------------------------------------------

@@ -78,11 +78,12 @@ def query_matches(
                 if len(toks) == 0:
                     continue
                 kept, _score = match_series_rollback(local_seed, toks, mmw)
-                for qs, ds, ws in kept:
-                    out["doc_id"].append(doc_id)
-                    out["q_start"].append(qs)
-                    out["db_start"].append(ds)
-                    out["window_size"].append(ws)
+                if kept:
+                    qs, ds, ws = zip(*kept)
+                    out["doc_id"].extend([doc_id] * len(kept))
+                    out["q_start"].extend(qs)
+                    out["db_start"].extend(ds)
+                    out["window_size"].extend(ws)
             yield pd.DataFrame(
                 {
                     "doc_id": out["doc_id"],

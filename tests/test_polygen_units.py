@@ -178,3 +178,109 @@ def test_lenient_bool_parsing_in_dimension_policy():
     p["dimension_policy"] = {"vol": {"accept_params": "false", "fixed_value": 0.25}}
     out = generate_polyphonic(p)
     assert out["results"][1][0][1] == 0.25  # vol held fixed, not searched
+
+
+class TestAreaDecisionHandComputedParity:
+    """Hand-computed worked examples for the 3-stage area decision
+    (reference time_series_controller.jl:3970-4212), independent of the
+    metric kernel: ``_safe_sim_all`` is stubbed with a deterministic
+    function chosen so every stage-1 ranking, stage-2 cartesian and
+    stage-3 cost/tie-break value below is derivable by hand with EXACT
+    binary-float arithmetic.  This removes the same-kernel circularity
+    of the generate_poly fixture oracle for this code path: the expected
+    anchors were walked out of the reference Julia source by hand (full
+    derivation in comments), not produced by the Python implementation.
+    """
+
+    def _payload(self, **area):
+        # 1 context step, 2 streams, both anchored at note 60 ->
+        # hist_note_anchor [[60,60]], hist_area = band_low -> [[60,60]],
+        # padded to 3 rows; both area stream managers' last_value = [60],
+        # so prev_tmp_anchors = [60, 60] at the first generated step.
+        ctx_row = [[60], 1.0, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]
+        p = {
+            "bpm": 240,
+            "initial_context": [[list(ctx_row), list(ctx_row)]],
+            "stream_counts": area.pop("stream_counts", [2, 2]),
+            "dimension_policy": {"area": {"accept_params": True}},
+            "note_register_freedom": [1.0],  # register logic off
+            "area_conc": [0.0],              # conc cost off
+            "merge_threshold_ratio": 0.02,
+        }
+        p.update(area)
+        return p
+
+    def test_walk_down_two_steps_targets_zero(self, monkeypatch):
+        """Targets all 0.0: stub stream metric d(a)=a (q=c=u=0).
+
+        Step 1, prev anchor pa=60.  Candidate bands from AREA_MOVE_BINS
+        deltas -12..12 around 60, quantized to 4-bands, deduped, sorted:
+        [48,52,56,60,64,68,72].  Stage 1: only raw_d varies ->
+        normalize min=48 max=72, weight 1 (7 unique); q/c/u constant ->
+        weight 0; denom=1 -> m[a]=(a-48)/24.  t=0.0 (center 0, spread 0),
+        prefer_big=False (t<0.5) -> rank by (|m-0|, +|a-60|, a):
+        48(0) < 52(1/6) < 56(1/3) < ... -> keep top-3 = [48,52,56].
+        Stage 2: 3x3 cartesian, [48,48] first.  Stage 3: stub global
+        d=enc[0] -> raw_d=[48,48,48,52,52,52,56,56,56] -> normalized
+        (d-48)/8; area_global=0 -> g_cost=gs; s_cost=(m[c0]+m[c1])/2.
+        [48,48]: 0 + 0 = 0, every other candidate > 1/24 -> chosen
+        [48,48] (no tie).
+
+        Step 2: pa=48 (committed step-1 anchors).  Candidates:
+        [36,40,44,48,52,56,60] (deltas below ABS_MIN=36 skipped, no
+        clamp).  Same math shifted: m=(a-36)/24, keep [36,40,44],
+        chosen [36,36]."""
+        import tsc_spark.kernel.polygen as PG
+
+        def fake_sim(mgr, value):
+            return (float(value[0]), 0.0, 0.0, 0.0)
+
+        monkeypatch.setattr(PG, "_safe_sim_all", fake_sim)
+        out = PG.generate_polyphonic(
+            self._payload(
+                area_global=[0.0], area_center=[0.0], area_spread=[0.0]
+            )
+        )
+        anchors = [d["area_tmp_anchor"] for d in out["decisions"]]
+        assert anchors == [[48, 48], [36, 36]]
+
+    def test_nine_way_tie_resolved_by_smallest_mean_jump(self, monkeypatch):
+        """Exact 9-way stage-3 tie resolved by the prefer-small-jump rule.
+
+        Stub stream metric: d(48)=d(52)=1, d(60)=4, d(72)=3, else 0;
+        global metric constant 0.  Stage 1 (pa=60, t=0.5): raw_d over
+        [48,52,56,60,64,68,72] = [1,1,0,4,0,0,3]; min 0 max 4 ->
+        m = [1/4, 1/4, 0, 1, 0, 0, 3/4] — all EXACT binary fractions.
+        Costs |m-1/2|: 48,52,72 -> 1/4; 56,60,64,68 -> 1/2 (exact).
+        prefer_big=True (t>=0.5) -> tiebreak -jump: 48(-12), 72(-12),
+        52(-8) -> keep sorted [48,52,72].
+        Stage 3: global scores all-constant -> normalize weight 0 ->
+        scores 0.0; area_global=0 -> g_cost=0 for all.  Per-stream cost
+        is 1/4 for each of 48,52,72 -> every one of the 9 candidates
+        totals exactly 1/4.  target_mean=(0+1/2)/2=1/4 < 1/2 ->
+        prefer SMALL mean jump vs pa=[60,60]:
+          [48,48]:12  [48,52]:10  [48,72]:12
+          [52,48]:10  [52,52]:8   [52,72]:10
+          [72,48]:12  [72,52]:10  [72,72]:12
+        unique minimum 8 -> chosen [52,52] (reached via two strict
+        tie-break replacements in candidate order)."""
+        import tsc_spark.kernel.polygen as PG
+
+        table = {48.0: 1.0, 52.0: 1.0, 60.0: 4.0, 72.0: 3.0}
+
+        def fake_sim(mgr, value):
+            if len(value) == 1:
+                return (table.get(float(value[0]), 0.0), 0.0, 0.0, 0.0)
+            return (0.0, 0.0, 0.0, 0.0)
+
+        monkeypatch.setattr(PG, "_safe_sim_all", fake_sim)
+        out = PG.generate_polyphonic(
+            self._payload(
+                stream_counts=[2],
+                area_global=[0.0],
+                area_center=[0.5],
+                area_spread=[0.0],
+            )
+        )
+        anchors = [d["area_tmp_anchor"] for d in out["decisions"]]
+        assert anchors == [[52, 52]]

@@ -251,6 +251,12 @@ def main() -> None:
         return
 
     t_main = time.time()
+    try:
+        # load BEFORE the run is the real shared-machine noise indicator:
+        # the suite itself saturates all cores, so end-load is self-inflicted
+        load_start = round(os.getloadavg()[0], 1)
+    except OSError:
+        load_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     spark = _spark(args.cpus)
@@ -285,6 +291,7 @@ def main() -> None:
             "sf": float(sf),
             # shared-machine noise indicator: clean-machine reference
             # numbers + repro commands live in BASELINE.md
+            "load_avg_1m_at_start": load_start,
             "load_avg_1m_at_end": load1,
             # reference-compatible response stamp (config.jl:17)
             "processingTime": processing_time_s(t_main),

@@ -212,6 +212,9 @@ def main() -> None:
                     help="which job the scaling pair runs (rollup = "
                          "bandwidth-bound reduceat; cluster = CPU-bound "
                          "Python kernel)")
+    ap.add_argument("--scale-repeats", type=int, default=2,
+                    help="repeats per parallelism level in --scaling; the "
+                         "best (max points/sec) is kept per level")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--docs", type=int, default=None)
@@ -228,15 +231,24 @@ def main() -> None:
         lo, hi = str(args.scale_base), str(args.scale_base * 4)
         key = f"{args.kernel}_points_per_sec"
         results = {}
+        # best-of-N per level: on a shared host external contention only
+        # ever depresses throughput, so max over repeats estimates the
+        # uncontended rate for both levels symmetrically
         for cpus in (lo, hi):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--pipeline-only", "--kernel", args.kernel,
-                 "--cpus", cpus, "--docs", str(args.docs)],
-                capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-            results[cpus] = json.loads(line)
+            best = None
+            for _ in range(max(args.scale_repeats, 1)):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--pipeline-only", "--kernel", args.kernel,
+                     "--cpus", cpus, "--docs", str(args.docs)],
+                    capture_output=True, text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+                rec = json.loads(line)
+                if best is None or rec[key] > best[key]:
+                    best = rec
+            results[cpus] = best
         pps_lo = results[lo][key]
         pps_hi = results[hi][key]
         eff = (pps_hi / pps_lo) / 4
@@ -247,6 +259,7 @@ def main() -> None:
             "points_per_sec": {f"local{lo}": pps_lo, f"local{hi}": pps_hi},
             f"{args.kernel}_points": results[hi][f"{args.kernel}_points"],
             "docs": args.docs,
+            "repeats_per_level": max(args.scale_repeats, 1),
         }))
         return
 

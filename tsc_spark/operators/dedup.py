@@ -254,6 +254,10 @@ def dedup_components(
         ptr = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("comp").alias("p_comp")
         )
+        # localCheckpoint every round: it costs one eager job but keeps
+        # the plan constant-size — deferring it makes every later action
+        # (probe, next round) re-execute the unmaterialized joins, which
+        # measured slower than the saved job
         new_labels = (
             stepped.join(ptr, stepped["comp"] == ptr["p_id"])
             .select(stepped["doc_id"], F.col("p_comp").alias("comp"))

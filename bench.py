@@ -175,9 +175,30 @@ def run_cluster_bench(spark, n_docs: int) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def _warmup(spark) -> None:
+    """Absorb JVM/codegen/Arrow-worker startup outside the timed region —
+    the reference does the same at startup (STARTUP_WARMUP_*,
+    /root/reference/config/warmup_actions.json): warm one codegen query,
+    one pandas_udf and one mapInPandas so the first timed query measures
+    the query, not the runtime."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.range(256).withColumn("v", (F.col("id") % 7).cast("double"))
+    df.groupBy((F.col("id") % 4).alias("g")).agg(F.sum("v")).count()
+
+    @F.pandas_udf("double")
+    def _pw(s: pd.Series) -> pd.Series:
+        return s * 2.0
+
+    df.select(_pw("v")).count()
+    df.mapInPandas(lambda it: it, "id long, v double").count()
+
+
 def run_query_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
+    _warmup(spark)
     queries = entry_mod.queries()
     out: dict[str, float] = {}
     for name in names:

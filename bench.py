@@ -181,16 +181,12 @@ def _warmup(spark) -> None:
     /root/reference/config/warmup_actions.json): warm one codegen query,
     one pandas_udf and one mapInPandas so the first timed query measures
     the query, not the runtime."""
-    import pandas as pd
     from pyspark.sql import functions as F
 
     df = spark.range(256).withColumn("v", (F.col("id") % 7).cast("double"))
     df.groupBy((F.col("id") % 4).alias("g")).agg(F.sum("v")).count()
 
-    @F.pandas_udf("double")
-    def _pw(s: pd.Series) -> pd.Series:
-        return s * 2.0
-
+    _pw = F.pandas_udf(lambda s: s * 2.0, "double")
     df.select(_pw("v")).count()
     df.mapInPandas(lambda it: it, "id long, v double").count()
 

@@ -342,7 +342,10 @@ def near_dup_embeddings(
     if n_planes is None:
         # one count job (parquet scans serve this from footer stats)
         n_planes = adaptive_n_planes(emb.count(), target_bucket_size)
-    ids = emb.select("vec_id", "embedding")
+    # norms computed ONCE per vector (same fold expression, so the values
+    # are bit-identical to computing them inside each pair) — the verify
+    # join then pays one dot per candidate pair instead of dot + 2 norms
+    ids = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
     cand = None
     for t in range(int(n_tables)):
         b = hyperplane_buckets(emb, dim, n_planes, seed=seed + t).select(
@@ -360,19 +363,17 @@ def near_dup_embeddings(
         cand = p if cand is None else cand.unionByName(p)
     cand = cand.distinct()
     pairs = cand.join(
-        ids.withColumnRenamed("vec_id", "vec_a").withColumnRenamed(
-            "embedding", "emb_a"
-        ),
+        ids.withColumnRenamed("vec_id", "vec_a")
+        .withColumnRenamed("embedding", "emb_a")
+        .withColumnRenamed("nrm", "nrm_a"),
         "vec_a",
     ).join(
-        ids.withColumnRenamed("vec_id", "vec_b").withColumnRenamed(
-            "embedding", "emb_b"
-        ),
+        ids.withColumnRenamed("vec_id", "vec_b")
+        .withColumnRenamed("embedding", "emb_b")
+        .withColumnRenamed("nrm", "nrm_b"),
         "vec_b",
     )
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
-    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return pairs.select(
         "vec_a",
         "vec_b",

@@ -1245,7 +1245,12 @@ def q_near_dup_embeddings(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH-bucketed self-join + exact
     verify.  Threshold 0.3 — the synthetic corpus has no true near-dups
     (max pairwise cosine ≈ 0.51), so the gate is lowered to exercise the
-    bucket-join + verify path end-to-end."""
+    bucket-join + verify path end-to-end.
+
+    NOTE: n_planes is derived from the live corpus count (adaptive), and
+    the oracle derives it identically from the corpus at the oracle sf
+    dir (TSC_ORACLE_SF_DIR, driver default sf0.01) — like every fixture
+    oracle, the comparison is only valid when query sf == oracle sf."""
     from tsc_spark.operators.similarity import near_dup_embeddings
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -194,7 +194,10 @@ def _warmup(spark) -> None:
 def run_query_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
-    _warmup(spark)
+    try:
+        _warmup(spark)
+    except Exception as e:  # warmup is best-effort; never kill the bench
+        print(f"# bench warmup failed: {type(e).__name__}: {e}", file=sys.stderr)
     queries = entry_mod.queries()
     out: dict[str, float] = {}
     for name in names:

@@ -239,13 +239,20 @@ def dedup_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
-        stepped = labels.join(
-            neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
-        ).select(
-            labels["doc_id"],
-            F.least(
-                F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
-            ).alias("comp"),
+        # materialize before the pointer jump: both sides of that join
+        # consume `stepped`, and without a lineage break the expensive
+        # neighbor-min join+groupBy would execute once per branch
+        stepped = (
+            labels.join(
+                neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
+            )
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
         )
         # pointer jump: comp ← comp(comp).  Every comp value is itself a
         # doc_id present in `labels` (labels start as self and only ever

@@ -258,3 +258,41 @@ def test_near_dup_multi_table_finds_planted_pair(spark):
     rows = near_dup_embeddings(emb, dim=16, threshold=0.99).collect()
     assert [(r.vec_a, r.vec_b) for r in rows] == [(100, 101)]
     assert rows[0].cosine > 0.99
+
+
+def test_dedup_components_random_graphs_match_union_find(spark):
+    """Randomized equivalence: pointer-jump min-label propagation ==
+    exact transitive closure (Python union-find oracle) on 30 random
+    pair graphs of varying density."""
+    import random
+
+    from tsc_spark.operators.dedup import dedup_components
+
+    rng = random.Random(7)
+    for trial in range(30):
+        n = rng.randint(2, 40)
+        n_edges = rng.randint(1, 60)
+        docs = [f"t{trial}_{i:02d}" for i in range(n)]
+        pairs = []
+        for _ in range(n_edges):
+            a, b = rng.sample(docs, 2)
+            pairs.append((min(a, b), max(a, b)))
+        # union-find oracle
+        parent = {d: d for d in docs}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {d for p in pairs for d in p}
+        expected = {d: find(d) for d in touched}
+
+        df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+        got = {r.doc_id: r.component for r in dedup_components(df).collect()}
+        assert got == expected, f"trial {trial}"

@@ -26,6 +26,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone for queries that RENDER timestamps
+    (date_format / window boundaries): the DuckDB oracles render the
+    stored naive values, so a driver session in a non-UTC zone would
+    shift Spark's rendering and red-flag the row.  Set-and-leave —
+    DataFrames are lazy, so a save/restore would undo the conf before
+    execution.  get_spark() already pins UTC; this covers driver-owned
+    sessions."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsc_spark.operators.text import tokenize_documents
 
@@ -205,11 +216,9 @@ WINDOW w AS (PARTITION BY doc_id ORDER BY window_idx
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
 
 
-def _csv_int_arr(col) -> F.Column:
-    """Canonical CSV rendering of an int array (driver-hashable; DuckDB
-    twin: COALESCE(array_to_string(col, ','), ''))."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+# canonical CSV rendering of an int array (driver-hashable; DuckDB twin:
+# COALESCE(array_to_string(col, ','), '')) — shared with fixture generation
+from tsc_spark.functions.canon import csv_int_arr as _csv_int_arr  # noqa: E402
 
 
 def q_split_phrases(spark, sf_dir):
@@ -260,9 +269,7 @@ halves AS (
 SELECT m.doc_id, round(data_mean, 6) AS data_mean,
        round(COALESCE(lower_half_avg, 0.0), 6) AS lower_half_avg,
        round(COALESCE(upper_half_avg, 0.0), 6) AS upper_half_avg,
-       round(CASE WHEN greatest(abs(COALESCE(upper_half_avg,0.0) - COALESCE(lower_half_avg,0.0)), 1.0) <= 0.0
-                  THEN 1.0
-                  ELSE greatest(abs(COALESCE(upper_half_avg,0.0) - COALESCE(lower_half_avg,0.0)), 1.0) END, 6)
+       round(greatest(abs(COALESCE(upper_half_avg,0.0) - COALESCE(lower_half_avg,0.0)), 1.0), 6)
          AS value_width
 FROM m JOIN halves USING (doc_id)"""
 
@@ -469,12 +476,9 @@ def q_kmv_distinct(spark, sf_dir):
     from tsc_spark.operators.sketch import kmv_distinct
 
     sh = shingles(
-        _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string")), n=3
-    ).join(
-        _docs(spark, sf_dir).select(
-            F.col("doc_id").cast("string").alias("doc_id"), "source"
-        ),
-        "doc_id",
+        _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string")),
+        n=3,
+        extra_cols=("source",),  # one scan; no re-read + join for source
     )
     return kmv_distinct(sh, "source", "shingle", k=64)
 
@@ -566,7 +570,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.12"""
+WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.12"""
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -671,6 +675,8 @@ def q_asof_join(spark, sf_dir):
     view event of the same user (operators.asof — union + one keyed
     sort + LOCF, never a range cross product)."""
     from tsc_spark.operators.asof import asof_join
+
+    _ensure_utc(spark)
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -845,6 +851,7 @@ GROUP BY r_name"""
 def q_events_hourly(spark, sf_dir):
     """Batch tumbling event-time window (same shape the streaming tier
     uses with a watermark)."""
+    _ensure_utc(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type")
@@ -1379,7 +1386,7 @@ def q_query_matches(spark, sf_dir):
     from tsc_spark.operators.matching import query_matches
 
     # reference warmup query series (config/warmup_actions.json)
-    return query_matches(spark, _tokens(spark, sf_dir), [0, 1, 3, 2, 4, 5, 3, 1]).select(
+    return query_matches(spark, _tokens(spark, sf_dir), QUERY_TOKENS).select(
         "doc_id",
         F.col("q_start").cast("long").alias("q_start"),
         F.col("db_start").cast("long").alias("db_start"),
@@ -1390,7 +1397,7 @@ def q_query_matches(spark, sf_dir):
 def q_match_scores(spark, sf_dir):
     from tsc_spark.operators.matching import match_scores, query_matches
 
-    m = query_matches(spark, _tokens(spark, sf_dir), [0, 1, 3, 2, 4, 5, 3, 1])
+    m = query_matches(spark, _tokens(spark, sf_dir), QUERY_TOKENS)
     return match_scores(m).select("doc_id", _csv_int_arr("score").alias("score"))
 
 
@@ -1427,10 +1434,9 @@ def q_note_vol_matches(spark, sf_dir):
     )
 
 
-GENERATE_REQUESTS = [
-    ("warmup", [0, 1, 3], [0.2, 0.5], 0.02, 0, 11),
-    ("alt", [5, 7, 5], [0.1, 0.9], 0.3, 0, 24),
-]
+# single-sourced from oracle_fixtures so the Spark query and its fixture
+# oracle can never drift apart
+from tsc_spark.oracle_fixtures import GENERATE_REQUESTS, QUERY_TOKENS  # noqa: E402
 
 
 def q_generate(spark, sf_dir):

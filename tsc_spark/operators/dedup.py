@@ -34,7 +34,8 @@ __all__ = [
 
 
 def _norm_text() -> F.Column:
-    return F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    # explicit class == RE2 \s (DuckDB oracle); Java \s would also eat \x0B
+    return F.lower(F.regexp_replace(F.col("text"), "[ \t\n\f\r]+", " "))
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -50,8 +51,14 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+def shingles(
+    docs: DataFrame, n: int = 3, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    ``extra_cols`` carries doc-level attributes (e.g. ``source``) through
+    in the same scan — they're functionally dependent on doc_id, so the
+    distinct is unaffected and callers avoid a re-scan + join."""
     words = F.split(F.col("text"), " ")
     # guard: sequence(0, size-n) is only valid when size >= n (Spark's
     # sequence auto-steps backwards for stop < start, which would emit
@@ -65,7 +72,7 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     return (
         ensure_min_partitions(docs)
-        .select("doc_id", F.explode(sh).alias("shingle"))
+        .select("doc_id", *extra_cols, F.explode(sh).alias("shingle"))
         .distinct()
     )
 

@@ -46,6 +46,9 @@ def kmv_distinct(
         df.select(*groups, value_col)
         .distinct()
         .select(*groups, _h32(F.col(value_col), seed).alias("h"))
+        # proper KMV tracks distinct HASH values: two distinct inputs
+        # whose 32-bit hashes collide count once (matches the SQL twin)
+        .distinct()
     )
     w = Window.partitionBy(*groups).orderBy("h")
     topk = hashed.withColumn("rn", F.row_number().over(w)).filter(

@@ -67,7 +67,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     n_chars = F.length("text")
-    punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    punct = n_chars - F.length(F.regexp_replace("text", "[^\\w \t\n\f\r]", ""))
     stop_hits = F.size(F.filter(words, lambda w: F.lower(w).isin(STOPWORDS)))
     return docs.select(
         "doc_id",
@@ -137,7 +137,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-URL_RE = r"https?://[^\s]+"
+URL_RE = "https?://[^ \t\n\f\r]+"  # RE2-\s-equivalent class
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
@@ -155,7 +155,8 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalised lowercase text
     (reference stable_id idea, /root/reference/scripts/seed_influx.jl:534-536,
     with md5 instead of sha1 for engine portability)."""
-    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    # explicit class == RE2 \s (DuckDB); Java \s would also eat \x0B
+    norm = F.lower(F.regexp_replace(F.col("text"), "[ \t\n\f\r]+", " "))
     return docs.select(
         "doc_id",
         F.substring(F.md5(norm), 1, 16).alias("fingerprint"),

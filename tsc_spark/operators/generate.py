@@ -24,7 +24,36 @@ __all__ = [
     "requests_df",
     "generate_tokens_distributed",
     "generate_polyphonic_distributed",
+    "POLY_RECORD_COLS",
+    "flatten_poly_result",
 ]
+
+POLY_RECORD_COLS = [
+    "request", "step", "stream", "notes", "vol", "brightness", "noise",
+    "harmonicity", "attack", "decay_sustain", "release", "chord_range",
+    "density", "sustain", "legato", "generated",
+]
+
+
+def flatten_poly_result(name: str, res: dict):
+    """Flatten one generate_polyphonic result into POLY_RECORD_COLS
+    tuples (notes as list[int]).  Shared by the distributed operator and
+    the fixture oracle so the record layout can never drift between
+    them."""
+    base = res["initial_context_steps"]
+    for step_idx, step in enumerate(res["results"]):
+        for s_idx, st in enumerate(step):
+            yield (
+                name,
+                step_idx,
+                s_idx,
+                [int(v) for v in st[0]],
+                float(st[1]), float(st[2]), float(st[3]), float(st[4]),
+                float(st[5]), float(st[6]), float(st[7]),
+                int(st[8]),
+                float(st[9]), float(st[10]), float(st[11]),
+                step_idx >= base,
+            )
 
 REQUEST_SCHEMA = (
     "request string, first_elements array<int>, complexity_targets array<double>, "
@@ -110,34 +139,14 @@ def generate_polyphonic_distributed(spark: SparkSession, requests) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernel.polygen import generate_polyphonic
 
-        cols = [
-            "request", "step", "stream", "notes", "vol", "brightness", "noise",
-            "harmonicity", "attack", "decay_sustain", "release", "chord_range",
-            "density", "sustain", "legato", "generated",
-        ]
+        cols = POLY_RECORD_COLS
         for pdf in batches:
             out = {c: [] for c in cols}
             for name, payload in zip(pdf["request"], pdf["payload"]):
                 res = generate_polyphonic(json.loads(payload))
-                base = res["initial_context_steps"]
-                for step_idx, step in enumerate(res["results"]):
-                    for s_idx, st in enumerate(step):
-                        out["request"].append(name)
-                        out["step"].append(step_idx)
-                        out["stream"].append(s_idx)
-                        out["notes"].append([int(v) for v in st[0]])
-                        out["vol"].append(float(st[1]))
-                        out["brightness"].append(float(st[2]))
-                        out["noise"].append(float(st[3]))
-                        out["harmonicity"].append(float(st[4]))
-                        out["attack"].append(float(st[5]))
-                        out["decay_sustain"].append(float(st[6]))
-                        out["release"].append(float(st[7]))
-                        out["chord_range"].append(int(st[8]))
-                        out["density"].append(float(st[9]))
-                        out["sustain"].append(float(st[10]))
-                        out["legato"].append(float(st[11]))
-                        out["generated"].append(step_idx >= base)
+                for rec in flatten_poly_result(name, res):
+                    for c, v in zip(cols, rec):
+                        out[c].append(v)
             pdf_out = pd.DataFrame(out)
             pdf_out["step"] = pdf_out["step"].astype("int32")
             pdf_out["stream"] = pdf_out["stream"].astype("int32")

@@ -32,6 +32,7 @@ __all__ = [
     "extract_image_features",
     "sample_video_frames",
     "fake_image_decode",
+    "image_feature_vector",
 ]
 
 # typed media row: payload is opaque bytes; metadata is a real struct the
@@ -120,6 +121,22 @@ def fake_image_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(max(height, 1), max(width, 1))
 
 
+def image_feature_vector(img: np.ndarray) -> list[float]:
+    """8-dim feature layout: mean, std, min, max + 4 quadrant means.
+    Shared by the distributed extractor and the fixture oracle so the
+    layout can never drift between them."""
+    hh, wh = img.shape[0] // 2 or 1, img.shape[1] // 2 or 1
+    q = [
+        img[:hh, :wh].mean(),
+        img[:hh, wh:].mean() if img.shape[1] > wh else 0.0,
+        img[hh:, :wh].mean() if img.shape[0] > hh else 0.0,
+        img[hh:, wh:].mean() if min(img.shape) > min(hh, wh) else 0.0,
+    ]
+    return [
+        float(img.mean()), float(img.std()), float(img.min()), float(img.max())
+    ] + [float(x) for x in q]
+
+
 def extract_image_features(
     media: DataFrame,
     decode_fn: Callable[[bytes, int, int], np.ndarray] | None = None,
@@ -144,18 +161,7 @@ def extract_image_features(
                         "decode_fn=fake_image_decode or a real decoder"
                     )
                 img = decode_fn(bytes(payload), int(w), int(h))
-                # 8-dim layout: mean, std, min, max + 4 quadrant means
-                hh, wh = img.shape[0] // 2 or 1, img.shape[1] // 2 or 1
-                q = [
-                    img[:hh, :wh].mean(),
-                    img[:hh, wh:].mean() if img.shape[1] > wh else 0.0,
-                    img[hh:, :wh].mean() if img.shape[0] > hh else 0.0,
-                    img[hh:, wh:].mean() if min(img.shape) > min(hh, wh) else 0.0,
-                ]
-                feats.append(
-                    [float(img.mean()), float(img.std()), float(img.min()),
-                     float(img.max())] + [float(x) for x in q]
-                )
+                feats.append(image_feature_vector(img))
                 docs.append(doc_id)
                 mids.append(mid)
             yield pd.DataFrame({"doc_id": docs, "media_id": mids, "features": feats})

@@ -241,6 +241,11 @@ def _fx_note_vol_matches(sf_dir: str):
     # query = first-3 points of the lexicographically-first doc with >= 3
     # notes, lifted one octave (twin of q_note_vol_matches)
     eligible = sorted((d for d in nv if len(d[1]) >= 3), key=lambda d: d[0])
+    if not eligible:
+        # corpus has no doc with >= 3 tokens: the query side yields no
+        # matches either — keep the oracle intact instead of crashing
+        # (which would silently weaken the gate to rows-only)
+        return ["doc_id", "q_start", "db_start", "window_size"], []
     first = eligible[0]
     q = [[first[1][i] + 12.0, first[2][i]] for i in range(3)]
     rows = []
@@ -263,33 +268,21 @@ def _fx_generate(sf_dir: str):
 
 def _fx_generate_poly(sf_dir: str):
     """Twin of q_generate_poly: run the polyphonic orchestrator on the
-    canonical requests (no sf dependence) and flatten stream records."""
+    canonical requests (no sf dependence); the record flattening is the
+    operator's own ``flatten_poly_result`` so the layout cannot drift —
+    the fixture independently verifies the distribution plumbing, the
+    kernel itself is anchored by the pytest goldens + hand vectors."""
     from .kernel.polygen import generate_polyphonic
+    from .operators.generate import POLY_RECORD_COLS, flatten_poly_result
 
     rows = []
     for name, payload in GENERATE_POLY_REQUESTS:
         res = generate_polyphonic(payload)
-        base = res["initial_context_steps"]
-        for step_idx, step in enumerate(res["results"]):
-            for s_idx, st in enumerate(step):
-                rows.append(
-                    (
-                        name,
-                        step_idx,
-                        s_idx,
-                        _csv(st[0]),
-                        float(st[1]), float(st[2]), float(st[3]), float(st[4]),
-                        float(st[5]), float(st[6]), float(st[7]),
-                        int(st[8]),
-                        float(st[9]), float(st[10]), float(st[11]),
-                        step_idx >= base,
-                    )
-                )
-    return [
-        "request", "step", "stream", "notes", "vol", "brightness", "noise",
-        "harmonicity", "attack", "decay_sustain", "release", "chord_range",
-        "density", "sustain", "legato", "generated",
-    ], rows
+        for rec in flatten_poly_result(name, res):
+            rec = list(rec)
+            rec[3] = _csv(rec[3])  # notes list -> canonical CSV
+            rows.append(tuple(rec))
+    return list(POLY_RECORD_COLS), rows
 
 
 def _fx_stm_interference(sf_dir: str):
@@ -318,7 +311,7 @@ def _fx_image_features(sf_dir: str):
     8-dim features, rendered with the shared double formatter."""
     import numpy as np
 
-    from .operators.multimodal import fake_image_decode
+    from .operators.multimodal import fake_image_decode, image_feature_vector
 
     con = duckdb.connect()
     rows_in = con.sql(
@@ -331,19 +324,7 @@ def _fx_image_features(sf_dir: str):
         w = 64 + (did % 8) * 32
         h = 64 + (did % 4) * 32
         img = fake_image_decode(text.encode("utf-8"), int(w), int(h))
-        hh, wh = img.shape[0] // 2 or 1, img.shape[1] // 2 or 1
-        q = [
-            img[:hh, :wh].mean(),
-            img[:hh, wh:].mean() if img.shape[1] > wh else 0.0,
-            img[hh:, :wh].mean() if img.shape[0] > hh else 0.0,
-            img[hh:, wh:].mean() if min(img.shape) > min(hh, wh) else 0.0,
-        ]
-        feats = [
-            float(img.mean()),
-            float(img.std()),
-            float(img.min()),
-            float(img.max()),
-        ] + [float(x) for x in q]
+        feats = image_feature_vector(img)
         rows.append((doc_id, f"media_{doc_id}", fmt_double_seq(feats)))
     return ["doc_id", "media_id", "features"], rows
 
@@ -377,6 +358,12 @@ def _sql_literal(v) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, float):
+        if v != v:  # NaN: repr() would emit the bare identifier `nan`
+            return "CAST('nan' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('inf' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-inf' AS DOUBLE)"
         return repr(v)
     return str(v)
 
@@ -400,10 +387,18 @@ def build_fixture_sql(name: str, sf_dir: str) -> str:
     return f"SELECT {proj} FROM (VALUES\n{values}\n) AS t({', '.join(cols)})"
 
 
+_CHECKSUM_CACHE: dict[str, str] = {}
+
+
 def _sf_checksum(sf_dir: str) -> str:
     """Content hash of the tables the fixtures derive from — guards the
     cache against regenerated testdata (stale fixtures would otherwise
-    mis-compare silently)."""
+    mis-compare silently).  Memoized per directory and hashed in chunks
+    (oracle_sql() asks for it once per fixture)."""
+    sf_dir = os.path.normpath(sf_dir)
+    cached = _CHECKSUM_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     import hashlib
 
     h = hashlib.md5()
@@ -411,19 +406,79 @@ def _sf_checksum(sf_dir: str) -> str:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             with open(p, "rb") as f:
-                h.update(f.read())
-    return h.hexdigest()
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+    _CHECKSUM_CACHE[sf_dir] = h.hexdigest()
+    return _CHECKSUM_CACHE[sf_dir]
+
+
+_CODE_CHECKSUM: str | None = None
+
+# fixture output depends on these sources; hashing them into the stamp
+# makes a kernel/builder change auto-invalidate the cache (previously a
+# kernel fix required remembering to hand-delete fixtures/<sf>/)
+_CODE_STAMP_GLOBS = (
+    "kernel/*.py",
+    "operators/generate.py",
+    "operators/multimodal.py",
+    "operators/matching.py",
+    "functions/canon.py",
+    "config.py",
+    "oracle_fixtures.py",
+)
+
+
+def _code_checksum() -> str:
+    global _CODE_CHECKSUM
+    if _CODE_CHECKSUM is None:
+        import glob
+        import hashlib
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        h = hashlib.md5()
+        for pattern in _CODE_STAMP_GLOBS:
+            for p in sorted(glob.glob(os.path.join(root, pattern))):
+                with open(p, "rb") as f:
+                    h.update(f.read())
+        _CODE_CHECKSUM = h.hexdigest()
+    return _CODE_CHECKSUM
+
+
+def _cache_dir_for(sf: str) -> tuple[str, str, str]:
+    """(cache_dir, stamp_path, stamp_value) for an sf dir.
+
+    The canonical committed cache lives at fixtures/<basename>; a
+    DIFFERENT source path that happens to share the basename (e.g. a
+    test's /tmp/.../sf0.01) is redirected to a per-path temp cache so it
+    can never clobber the committed fixtures."""
+    sf = os.path.normpath(sf)
+    stamp_value = f"{_sf_checksum(sf)}:{_code_checksum()}:{sf}"
+    cache_dir = os.path.join(FIXTURE_ROOT, os.path.basename(sf))
+    stamp = os.path.join(cache_dir, "_source_checksum")
+    if os.path.exists(stamp):
+        parts = open(stamp).read().strip().split(":")
+        recorded_path = parts[2] if len(parts) >= 3 else sf
+        if recorded_path != sf:
+            import hashlib
+            import tempfile
+
+            tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+            cache_dir = os.path.join(
+                tempfile.gettempdir(),
+                "tsc_fixture_cache",
+                f"{os.path.basename(sf)}_{tag}",
+            )
+            stamp = os.path.join(cache_dir, "_source_checksum")
+    return cache_dir, stamp, stamp_value
 
 
 def fixture_sql(name: str, sf_dir: str | None = None, force: bool = False) -> str:
-    """Cached fixture SQL for one query (generated on miss or when the
-    source testdata's checksum changed)."""
+    """Cached fixture SQL for one query (generated on miss, or when the
+    source testdata OR the kernel/builder code checksum changed)."""
     sf = sf_dir or oracle_sf_dir()
-    cache_dir = os.path.join(FIXTURE_ROOT, os.path.basename(os.path.normpath(sf)))
+    cache_dir, stamp, stamp_value = _cache_dir_for(sf)
     cache = os.path.join(cache_dir, f"{name}.sql")
-    stamp = os.path.join(cache_dir, "_source_checksum")
-    checksum = _sf_checksum(sf)
-    stamp_ok = os.path.exists(stamp) and open(stamp).read().strip() == checksum
+    stamp_ok = os.path.exists(stamp) and open(stamp).read().strip() == stamp_value
     if not force and stamp_ok and os.path.exists(cache):
         with open(cache) as f:
             return f.read()
@@ -438,7 +493,7 @@ def fixture_sql(name: str, sf_dir: str | None = None, force: bool = False) -> st
     with open(cache, "w") as f:
         f.write(sql)
     with open(stamp, "w") as f:
-        f.write(checksum)
+        f.write(stamp_value)
     return sql
 
 
@@ -447,6 +502,17 @@ def fixture_sql(name: str, sf_dir: str | None = None, force: bool = False) -> st
 # planes / fitted IVF centroids / probe lists) inlined.  The distributed
 # parts — bucket assignment, list assignment, candidate scan, exact
 # cosine top-k — are recomputed independently by DuckDB.
+#
+# Known ulp-scale caveat (accepted by design): the Spark side computes
+# plane/centroid dots and cosines with numpy BLAS matmuls (pairwise
+# summation) while these oracles recompute them as sequential SQL sums.
+# A dot within 1 ulp of 0 could flip a bucket bit, and a cosine within
+# 1 ulp of a 6th-decimal rounding boundary could round differently —
+# measure-zero events on continuous synthetic data (the testdata is
+# fixed per round, so a green gate stays green), accepted in exchange
+# for keeping the oracle's arithmetic genuinely independent of the
+# engine's.  The near-dup VERIFY step is exempt: both sides use the
+# same sequential fold there.
 # ----------------------------------------------------------------------
 def _lit_list(vals) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
@@ -590,6 +656,31 @@ cand AS (
     return out
 
 
+_ANN_NAMES = ("ann_topk_lsh", "near_dup_embeddings", "ann_topk_ivf")
+
+
+def ann_oracle_sql_cached(sf_dir: str | None = None) -> dict[str, str]:
+    """ANN oracles through the same checksum-stamped cache as the
+    fixtures — without caching, every driver ``oracle_sql()`` call would
+    re-scan embeddings and re-fit k-means.
+
+    Invariant: this function never WRITES the stamp (only fixture_sql
+    does, after its stale-sweep) — writing it here first would validate
+    stale builder fixtures that haven't been regenerated yet."""
+    sf = sf_dir or oracle_sf_dir()
+    cache_dir, stamp, stamp_value = _cache_dir_for(sf)
+    stamp_ok = os.path.exists(stamp) and open(stamp).read().strip() == stamp_value
+    paths = {n: os.path.join(cache_dir, f"{n}.sql") for n in _ANN_NAMES}
+    if stamp_ok and all(os.path.exists(p) for p in paths.values()):
+        return {n: open(p).read() for n, p in paths.items()}
+    out = ann_oracle_sql(sf)
+    os.makedirs(cache_dir, exist_ok=True)
+    for n, sql in out.items():
+        with open(paths[n], "w") as f:
+            f.write(sql)
+    return out
+
+
 def all_fixture_sql(sf_dir: str | None = None) -> dict[str, str]:
     """Every fixture oracle; failures degrade to rows-only — loudly, so a
     weakened correctness gate is visible in driver logs."""
@@ -606,7 +697,7 @@ def all_fixture_sql(sf_dir: str | None = None) -> dict[str, str]:
                 file=sys.stderr,
             )
     try:
-        out.update(ann_oracle_sql(sf_dir))
+        out.update(ann_oracle_sql_cached(sf_dir))
     except Exception as exc:
         print(
             "WARNING: ANN literal oracles failed "

@@ -299,7 +299,7 @@ stats AS (
 )
 SELECT a.doc_id, a.window_idx,
        round(CASE WHEN vmax > vmin
-                  THEN (agg_sum - vmin) * 1.0 / (vmax - vmin) ELSE 0.0 END, 6) AS norm_score,
+                  THEN (agg_sum - vmin) * 1.0 / (vmax - vmin) ELSE 0.5 END, 6) AS norm_score,
        CASE WHEN nuniq <= 1 THEN 0.0 WHEN nuniq = 2 THEN 0.2 ELSE 1.0 END AS reliability
 FROM agg a JOIN stats USING (doc_id)"""
 

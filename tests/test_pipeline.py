@@ -106,3 +106,85 @@ def test_processing_time_rounding():
     assert PROCESSING_TIME_DIGITS == 2
     assert processing_time_s(10.0, now=11.236) == 1.24
     assert processing_time_s(10.0, now=11.2) == 1.2
+
+
+def test_empty_buckets_complete_with_empty_manifests(spark, tmp_path):
+    """More buckets than docs: hash-empty buckets get no directory from
+    partitionBy, but the run must still complete and commit an empty
+    manifest so resume terminates."""
+    few = spark.createDataFrame(
+        [(f"d{i}", list(range(5)), 5, "s") for i in range(3)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    d = str(tmp_path / "sparse")
+    ingest(spark, few, d, n_buckets=16)
+    manifests = run_pipeline(spark, d, with_timeline=False, with_encoded=False)
+    assert len(manifests) == 16
+    empties = [m for m in manifests if m["docs"] == 0]
+    assert empties, "expected at least one hash-empty bucket"
+    assert all(m["points"] == 0 for m in empties)
+    # second run resumes cleanly past the empty buckets
+    assert run_pipeline(spark, d, with_timeline=False, with_encoded=False) == []
+
+
+def test_resume_produces_outputs_missing_from_earlier_run(spark, base_dir):
+    """A run with with_timeline=False must not suppress the timeline a
+    later with_timeline=True run asks for (manifests record outputs)."""
+    run_pipeline(spark, base_dir, with_timeline=False, with_encoded=False)
+    assert not os.path.isdir(os.path.join(base_dir, "timeline"))
+    redone = run_pipeline(spark, base_dir, with_timeline=True, with_encoded=False)
+    assert len(redone) == 4  # all buckets reprocessed for the new output
+    assert os.path.isdir(os.path.join(base_dir, "timeline"))
+    # and a third identical run is a full skip
+    assert run_pipeline(spark, base_dir, with_timeline=True, with_encoded=False) == []
+
+
+def test_manifest_watermarks_match_written_files(spark, base_dir):
+    """The derived per-tier watermark (from max n_tok) must equal the
+    actual max window_idx in the written rollup files."""
+    import pyspark.sql.functions as F
+
+    manifests = run_pipeline(spark, base_dir, with_timeline=False)
+    for m in manifests:
+        for tier in (0, 1, 2):
+            path = os.path.join(
+                base_dir, "rollup", f"tier={tier}", f"bucket={m['bucket']}"
+            )
+            actual = (
+                spark.read.parquet(path).agg(F.max("window_idx")).collect()[0][0]
+            )
+            assert m["watermarks"][f"tier{tier}_max_window_idx"] == int(actual), (
+                m["bucket"], tier
+            )
+
+
+def test_retention_rewrite_preserves_tier_column(spark, base_dir):
+    """Swept buckets must keep the same file schema (incl. tier) as
+    unswept ones, or read_tier's merged schema becomes nondeterministic."""
+    from tsc_spark.operators.retention import apply_retention
+
+    run_pipeline(spark, base_dir, with_timeline=False)
+    cols_before = set(read_tier(spark, base_dir, 0).columns)
+    apply_retention(spark, base_dir, {0: 4, 1: 2, 2: 1}, buckets=[0, 1])
+    cols_after = set(read_tier(spark, base_dir, 0).columns)
+    assert cols_after == cols_before
+    # every row still carries a concrete tier value
+    assert read_tier(spark, base_dir, 0).filter("tier IS NULL").count() == 0
+
+
+def test_rollup_from_lower_tier_equals_direct(spark, tokens_df):
+    """Continuous-aggregate compaction: composing tier-2 from tier-1
+    (8 windows -> 1) is exact — identical to computing tier-2 directly
+    from the token arrays."""
+    from tsc_spark.operators.rollup import rollup_from_lower_tier, tiered_rollups
+
+    tiers = tiered_rollups(tokens_df, with_gapfill=False)
+    direct = {
+        (r.doc_id, r.window_idx): (r.agg_count, r.agg_min, r.agg_max, r.agg_sum)
+        for r in tiers[2].collect()
+    }
+    composed = {
+        (r.doc_id, r.window_idx): (r.agg_count, r.agg_min, r.agg_max, r.agg_sum)
+        for r in rollup_from_lower_tier(tiers[1], 8, 2).collect()
+    }
+    assert composed == direct

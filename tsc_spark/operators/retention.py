@@ -138,7 +138,11 @@ def apply_retention(
                 continue
             df = spark.read.parquet(path).withColumn("tier", F.lit(tier))
             before = df.count()
-            survivors = retention_sweep(df, pol).drop("tier").cache()
+            # keep the tier column: _process_bucket wrote it into every
+            # rollup file, and dropping it here would leave swept buckets
+            # with a different schema than unswept ones (read_tier merges
+            # both, surfacing NULL/missing tier nondeterministically)
+            survivors = retention_sweep(df, pol).cache()
             after = survivors.count()
             tmp = path + ".retention_tmp"
             survivors.write.mode("overwrite").parquet(tmp)

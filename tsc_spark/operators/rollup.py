@@ -7,10 +7,14 @@ stream grouped by synthetic time, /root/reference/scripts/seed_influx.jl:
 operator, so AQE handles partial aggregation, shuffle sizing and skew.
 
 Design for 100 TB:
-* tier-1 aggregates from the exploded points with map-side partial agg
-  (hash aggregate before the doc_id shuffle);
-* tier-2 composes from tier-1 (8 windows → 1), an 8× smaller shuffle —
-  continuous-aggregate style, never re-reads raw points;
+* every tier is a SHUFFLE-FREE per-row transform over the token arrays
+  (``rollup_arrays`` posexplode fast path for tier-0, Arrow/numpy
+  ``reduceat`` for tiers 1/2) — a doc's windows never cross rows, so no
+  tier pays a shuffle at all;
+* ``rollup_from_lower_tier`` is the continuous-aggregate compaction
+  path (8 tier-1 windows → 1 tier-2 window, exact because count/min/
+  max/sum are decomposable) for incremental refresh over an already-
+  materialized lower tier — verified equal to the direct computation;
 * gap-fill generates the expected window grid with ``sequence`` +
   explode and left-joins actuals: both sides are partitioned by doc_id,
   so AQE plans a co-partitioned join without a broadcast of big data.
@@ -30,6 +34,7 @@ __all__ = [
     "rollup_arrays_np",
     "rollup_from_lower_tier",
     "tiered_rollups",
+    "gapfill",
     "gapfill_locf",
     "contextual_width",
     "normalize_window_scores",
@@ -154,8 +159,18 @@ def rollup_arrays_np(tokens_df: DataFrame, stride: int, tier: int) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            arrs = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"] if len(t) > 0]
-            ids = [d for d, t in zip(pdf["doc_id"], pdf["tokens"]) if len(t) > 0]
+            # NULL token arrays arrive as None through Arrow — skip them
+            # exactly like rollup_arrays' n_tok > 0 filter does
+            arrs = [
+                np.asarray(t, dtype=np.int64)
+                for t in pdf["tokens"]
+                if t is not None and len(t) > 0
+            ]
+            ids = [
+                d
+                for d, t in zip(pdf["doc_id"], pdf["tokens"])
+                if t is not None and len(t) > 0
+            ]
             if not arrs:
                 yield pd.DataFrame(
                     {
@@ -371,13 +386,19 @@ def normalize_window_scores(rollup_df: DataFrame) -> DataFrame:
     """Min-max normalize each doc's window sums with the reference's
     reliability weight (normalize_scores, /root/reference/src/controllers/
     time_series_controller.jl:2095-2117): weight 0.0 when all values are
-    equal, 0.2 when only two distinct values, 1.0 otherwise."""
+    equal, 0.2 when only two distinct values, 1.0 otherwise.
+
+    Expects dense windows (raw rollup or LOCF-filled): a NULL ``agg_sum``
+    from un-filled gap rows would propagate to a NULL score."""
     w = Window.partitionBy("doc_id")
     vmin = F.min("agg_sum").over(w)
     vmax = F.max("agg_sum").over(w)
     nuniq = F.size(F.collect_set("agg_sum").over(w))
+    # degenerate all-equal case fills 0.5, exactly like the reference
+    # (fill(0.5, ...), controller :2105-2109) — the 0-weight reliability
+    # is what nullifies it downstream, not the normalized value itself
     norm = F.when(vmax > vmin, (F.col("agg_sum") - vmin) / (vmax - vmin)).otherwise(
-        F.lit(0.0)
+        F.lit(0.5)
     )
     reliability = (
         F.when(nuniq <= 1, F.lit(0.0)).when(nuniq == 2, F.lit(0.2)).otherwise(F.lit(1.0))

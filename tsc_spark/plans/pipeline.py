@@ -24,7 +24,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT_MERGE_THRESHOLD_RATIO
+from ..config import DEFAULT_MERGE_THRESHOLD_RATIO, TIER_STRIDES
 from ..functions.codec_udfs import encode_tokens_table
 from ..operators.clustering import cluster_timeline
 from ..operators.rollup import tiered_rollups
@@ -51,11 +51,17 @@ def ingest(
     This is the only full scan of the raw corpus; all later stages are
     partition-pruned per bucket."""
     out = os.path.join(base_dir, "tokens_bucketed")
+    # repartition by (bucket, doc_id) with >= cores partitions: keeps the
+    # single full-corpus scan writing in parallel (repartition("bucket")
+    # alone would cap write tasks at n_buckets — one task serializing a
+    # whole bucket at the target bucket size of hundreds of GB) while
+    # partitionBy still routes rows to their bucket directory
+    write_parallelism = max(n_buckets, spark.sparkContext.defaultParallelism)
     (
         tokens_df.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
         )
-        .repartition("bucket")
+        .repartition(write_parallelism, "bucket", "doc_id")
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(out)
@@ -76,7 +82,26 @@ def _process_bucket(
     with_encoded: bool,
 ) -> dict:
     t0 = time.time()
+    outputs = ["rollup"] + (["timeline"] if with_timeline else []) + (
+        ["encoded"] if with_encoded else []
+    )
     bucket_dir = os.path.join(base_dir, "tokens_bucketed", f"bucket={bucket}")
+    if not os.path.isdir(bucket_dir):
+        # hash-empty bucket: partitionBy only creates directories for
+        # buckets that received docs — commit an empty manifest so the
+        # run completes and resume doesn't retry forever
+        return {
+            "bucket": bucket,
+            "docs": 0,
+            "points": 0,
+            "doc_id_range": [None, None],
+            "watermarks": {f"tier{t}_max_window_idx": -1 for t in (0, 1, 2)},
+            "merge_threshold_ratio": merge_threshold_ratio,
+            "outputs": outputs,
+            "wall_seconds": 0.0,
+            "points_per_sec": None,
+            "completed_at_epoch": time.time(),
+        }
     df = spark.read.parquet(bucket_dir)
 
     stats = df.agg(
@@ -84,8 +109,13 @@ def _process_bucket(
         F.sum("n_tok").alias("points"),
         F.min("doc_id").alias("doc_min"),
         F.max("doc_id").alias("doc_max"),
+        F.max("n_tok").alias("max_n_tok"),
     ).collect()[0]
 
+    # tiers are dense per doc (_gapfill_dense: windows 0..ceil(n_tok/s)-1),
+    # so the per-tier watermark derives from max(n_tok) — no re-read of
+    # the just-written parquet
+    max_n_tok = int(stats["max_n_tok"] or 0)
     watermarks: dict[str, int] = {}
 
     # shuffle-free array-path rollup: windows never cross rows, so every
@@ -94,8 +124,9 @@ def _process_bucket(
     for tier, tdf in tiers.items():
         path = os.path.join(base_dir, "rollup", f"tier={tier}", f"bucket={bucket}")
         tdf.write.mode("overwrite").parquet(path)
-        wm = spark.read.parquet(path).agg(F.max("window_idx")).collect()[0][0]
-        watermarks[f"tier{tier}_max_window_idx"] = int(wm) if wm is not None else -1
+        stride = TIER_STRIDES[tier]
+        wm = -(-max_n_tok // stride) - 1 if max_n_tok > 0 else -1
+        watermarks[f"tier{tier}_max_window_idx"] = wm
 
     if with_timeline:
         tl = cluster_timeline(df, merge_threshold_ratio)
@@ -115,6 +146,7 @@ def _process_bucket(
         "doc_id_range": [stats["doc_min"], stats["doc_max"]],
         "watermarks": watermarks,
         "merge_threshold_ratio": merge_threshold_ratio,
+        "outputs": outputs,
         "wall_seconds": round(elapsed, 3),
         "points_per_sec": round((stats["points"] or 0) / elapsed, 1) if elapsed > 0 else None,
         "completed_at_epoch": time.time(),
@@ -139,15 +171,31 @@ def run_pipeline(
         n_buckets = json.load(f)["n_buckets"]
     os.makedirs(_manifest_dir(base_dir), exist_ok=True)
 
+    requested = {"rollup"} | ({"timeline"} if with_timeline else set()) | (
+        {"encoded"} if with_encoded else set()
+    )
     todo = buckets if buckets is not None else range(n_buckets)
     written = []
     for bucket in todo:
         mpath = _manifest_path(base_dir, bucket)
         if resume and os.path.exists(mpath):
-            continue
+            # skip only when the earlier run produced every output this
+            # run asks for (a with_timeline=False run's manifest must not
+            # suppress the timeline a later with_timeline=True run wants);
+            # legacy manifests without the field recorded all outputs
+            with open(mpath) as f:
+                done = set(json.load(f).get("outputs",
+                                            ["rollup", "timeline", "encoded"]))
+            if requested <= done:
+                continue
+        else:
+            done = set()
         manifest = _process_bucket(
             spark, base_dir, bucket, merge_threshold_ratio, with_timeline, with_encoded
         )
+        # outputs produced by an earlier run over the same bucket data
+        # remain valid on disk — record the union
+        manifest["outputs"] = sorted(set(manifest["outputs"]) | done)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)

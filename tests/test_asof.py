@@ -105,3 +105,62 @@ def test_asof_join_matches_brute_force_random(spark):
         prior = [(t, v) for k, t, v in rrows if k == key and t <= lt]
         expected = max(prior)[1] if prior else None
         assert got[lid] == expected, (lid, key, lt)
+
+
+def test_asof_carries_whole_row_not_per_column_latest(spark):
+    from pyspark.sql import functions as F
+
+    """A matched right row with a NULL payload value must win as a row:
+    the output never mixes columns from different right rows (DuckDB/kdb
+    ASOF semantics)."""
+    from tsc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:30")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:10", 5.0), ("k", "2024-01-01 00:00:20", None)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = asof_join(left, right, on="k", time_col="ts").collect()[0]
+    assert row.v_asof is None  # the t=20 row won; its v IS NULL
+    assert str(row.ts_asof).endswith("00:00:20")
+
+
+def test_asof_null_timestamps_never_match(spark):
+    from pyspark.sql import functions as F
+
+    from tsc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", None), ("k", "2024-01-01 00:00:30")], "k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", None, 9.0), ("k", "2024-01-01 00:00:10", 1.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {r.ts: r for r in asof_join(left, right, on="k", time_col="ts").collect()}
+    null_left = rows[None]
+    assert null_left.v_asof is None and null_left.ts_asof is None
+    matched = [r for ts, r in rows.items() if ts is not None][0]
+    assert matched.v_asof == 1.0  # the NULL-ts right row never matches
+
+
+def test_range_join_zero_tolerance_is_exact_match(spark):
+    from pyspark.sql import functions as F
+
+    from tsc_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:10", 1), ("k", "2024-01-01 00:00:20", 2)],
+        "k string, ts string, lid int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:10", 7.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = range_join(left, right, on="k", time_col="ts", tolerance_seconds=0).collect()
+    assert [(r.lid, r.v_r) for r in rows] == [(1, 7.0)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_join(left, right, on="k", time_col="ts", tolerance_seconds=-1)

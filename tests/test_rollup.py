@@ -107,3 +107,47 @@ class TestSeriesStats:
         got = {r.doc_id: r.point_count for r in series_stats(tokens_df).collect()}
         for doc_id, toks, _src in tokens_rows:
             assert got[doc_id] == len(toks)
+
+
+def test_exact_window_matches_null_tokens_never_match(spark):
+    """Windows containing NULL tokens key to NULL and are dropped —
+    concat_ws alone would skip the null and collide [1,NULL,2] with
+    [1,2,NULL] (the DuckDB twin's || yields NULL keys that never join)."""
+    from tsc_spark.operators.matching import exact_window_matches
+
+    df = spark.createDataFrame(
+        [("d1", [1, None, 2, 1, 2, None])],
+        "doc_id string, tokens array<int>",
+    )
+    assert exact_window_matches(df, window_sizes=(3,)).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        exact_window_matches(df, window_sizes=())
+
+
+def test_filter_contained_relational_dedups_exact_duplicates(spark):
+    from tsc_spark.operators.matching import filter_contained_relational
+
+    dup = spark.createDataFrame(
+        [("d", 0, 5, 3), ("d", 0, 5, 3)],
+        "doc_id string, q_start int, db_start int, window_size int",
+    )
+    assert filter_contained_relational(dup).count() == 1
+
+
+def test_octave_matches_skew_cap_bounds_pairs(spark):
+    """The grouped expansion + cap from exact_window_matches now guards
+    the octave matcher too: a constant-token doc's quadratic key is
+    bounded."""
+    from tsc_spark.operators.matching import octave_invariant_matches
+
+    deg = spark.createDataFrame(
+        [("d", [5] * 40)], "doc_id string, tokens array<int>"
+    )
+    uncapped = octave_invariant_matches(deg, window_size=4).count()
+    capped = octave_invariant_matches(
+        deg, window_size=4, max_positions_per_key=8
+    ).count()
+    assert uncapped == 37 * 36 // 2
+    assert capped == 8 * 7 // 2

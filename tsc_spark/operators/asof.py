@@ -40,6 +40,18 @@ def range_join(
     binning rewrite Spark's optimizer does not apply on its own."""
     keys = [on] if isinstance(on, str) else list(on)
     tol = float(tolerance_seconds)
+    if tol <= 0.0:
+        # epoch/0.0 would NULL every bucket and silently return nothing;
+        # |Δt| <= 0 means exact-timestamp pairs — a plain equi-join
+        if tol < 0.0:
+            raise ValueError("tolerance_seconds must be >= 0")
+        r_payload = [c for c in right.columns if c not in keys and c != time_col]
+        rhs0 = right.select(
+            *keys,
+            F.col(time_col),
+            *[F.col(c).alias(f"{c}{suffix}") for c in r_payload],
+        )
+        return left.join(rhs0, keys + [time_col])
     l_epoch = F.col(time_col).cast("timestamp").cast("double")
 
     lhs = left.withColumn("_l_epoch", l_epoch).withColumn(
@@ -81,44 +93,51 @@ def asof_join(
     key nor the time column; they appear on the output with ``suffix``
     (plus ``<time_col><suffix>`` for the matched right timestamp).
     Left rows with no prior right row carry NULLs (left-outer
-    semantics)."""
+    semantics).  The matched right row is carried as ONE struct, so the
+    output is always the intact latest row — never a per-column mix of
+    different right rows (a right row whose payload value is NULL still
+    "wins" and yields NULL, matching DuckDB/kdb ASOF).  NULL-timestamp
+    right rows never match (ASOF is a time comparison); NULL-timestamp
+    left rows carry NULLs.  Like DuckDB, right timestamps are assumed
+    unique per key — pre-aggregate ties (e.g. max_by) for determinism."""
     keys = [on] if isinstance(on, str) else list(on)
     if payload_cols is None:
         payload_cols = [
             c for c in right.columns if c not in keys and c != time_col
         ]
+    ldt = dict(left.dtypes)
 
-    lhs = left.withColumn("_asof_side", F.lit(1))
-    for c in payload_cols:
-        lhs = lhs.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
-    lhs = lhs.withColumn("_r_ts", F.lit(None).cast(dict(right.dtypes)[time_col]))
-
-    rhs = right.select(
+    rhs = right.filter(F.col(time_col).isNotNull()).select(
         *keys,
         F.col(time_col),
         F.lit(0).alias("_asof_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
-        F.col(time_col).alias("_r_ts"),
+        F.struct(
+            F.col(time_col).alias("ts"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("_r"),
     )
     for c in left.columns:
         if c not in keys and c != time_col:
-            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+            rhs = rhs.withColumn(c, F.lit(None).cast(ldt[c]))
+
+    r_type = rhs.schema["_r"].dataType
+    lhs = left.withColumn("_asof_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(r_type)
+    )
 
     u = lhs.unionByName(rhs.select(*lhs.columns))
     # right rows sort BEFORE left rows at the same timestamp → inclusive
-    # at-or-before
+    # at-or-before; NULL left timestamps sort first (Spark asc default),
+    # before every non-null right row, so they carry NULL
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col(time_col).asc(), F.col("_asof_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
+    carried = u.withColumn("_carry", F.last("_r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_asof_side") == 1).select(
         "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload_cols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias(f"{time_col}{suffix}"),
+        *[F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in payload_cols],
+        F.col("_carry.ts").alias(f"{time_col}{suffix}"),
     )
-    drop = ["_asof_side", "_r_ts"] + [f"_r_{c}" for c in payload_cols]
-    return carried.filter(F.col("_asof_side") == 1).drop(*drop)
+    return out.drop("_asof_side", "_r", "_carry")

@@ -137,49 +137,70 @@ def exact_window_matches(
     in doc length; capping keeps the first N positions (earliest
     matches, the reference's scan order) so one poisoned doc cannot
     blow up the stage.  Default None = exact."""
+    if not window_sizes:
+        raise ValueError("window_sizes must be non-empty")
     outs = []
     for ws in window_sizes:
         words = F.col("tokens")
+        # null-sensitive key: a window containing a NULL token keys to
+        # NULL (dropped below) — concat_ws alone would silently SKIP the
+        # null element, colliding e.g. [1,NULL,2] with [1,2,NULL]; the
+        # DuckDB oracle's || concatenation yields NULL keys that never
+        # join, so this matches it exactly
         win = F.when(
             F.size(words) >= ws,
             F.transform(
                 F.sequence(F.lit(0), F.size(words) - ws),
-                lambda i: F.concat_ws("_", F.slice(words, i + 1, ws)),
+                lambda i: F.when(
+                    F.exists(F.slice(words, i + 1, ws), lambda x: x.isNull()),
+                    F.lit(None).cast("string"),
+                ).otherwise(F.concat_ws("_", F.slice(words, i + 1, ws))),
             ),
         ).otherwise(F.array().cast("array<string>"))
         sh = tokens_df.select(
             "doc_id", F.posexplode(win).alias("pos", "win")
-        )
-        ps = F.sort_array(F.collect_list("pos"))
-        grouped = sh.groupBy("doc_id", "win").agg(ps.alias("ps"))
-        if max_positions_per_key is not None:
-            grouped = grouped.withColumn(
-                "ps", F.slice("ps", 1, int(max_positions_per_key))
-            )
-        pair_structs = F.flatten(
-            F.transform(
-                F.col("ps"),
-                lambda p, i: F.transform(
-                    F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                    lambda q: F.struct(p.alias("q"), q.alias("d")),
-                ),
-            )
-        )
-        pairs = (
-            grouped.filter(F.size("ps") >= 2)
-            .select("doc_id", F.explode(pair_structs).alias("pq"))
-            .select(
-                "doc_id",
-                F.col("pq.q").alias("q_start"),
-                F.col("pq.d").alias("db_start"),
-                F.lit(ws).alias("window_size"),
-            )
-        )
-        outs.append(pairs)
+        ).filter(F.col("win").isNotNull())
+        outs.append(_expand_position_pairs(sh, ws, max_positions_per_key))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _expand_position_pairs(
+    sh: DataFrame, ws: int, max_positions_per_key: int | None
+) -> DataFrame:
+    """(doc_id, pos, win) rows → i<j position pairs per (doc_id, win).
+
+    The shared grouped pair expansion: collect positions per key in ONE
+    shuffle and expand pairs in-array — no self-join, and
+    ``max_positions_per_key`` bounds a degenerate key's quadratic
+    expansion."""
+    ps = F.sort_array(F.collect_list("pos"))
+    grouped = sh.groupBy("doc_id", "win").agg(ps.alias("ps"))
+    if max_positions_per_key is not None:
+        grouped = grouped.withColumn(
+            "ps", F.slice("ps", 1, int(max_positions_per_key))
+        )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda p, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda q: F.struct(p.alias("q"), q.alias("d")),
+            ),
+        )
+    )
+    return (
+        grouped.filter(F.size("ps") >= 2)
+        .select("doc_id", F.explode(pair_structs).alias("pq"))
+        .select(
+            "doc_id",
+            F.col("pq.q").alias("q_start"),
+            F.col("pq.d").alias("db_start"),
+            F.lit(ws).alias("window_size"),
+        )
+    )
 
 
 def note_vol_query_matches(
@@ -226,41 +247,45 @@ def note_vol_query_matches(
     return src.mapInPandas(run, MATCH_SCHEMA)
 
 
-def octave_invariant_matches(tokens_df: DataFrame, window_size: int = 4) -> DataFrame:
+def octave_invariant_matches(
+    tokens_df: DataFrame,
+    window_size: int = 4,
+    max_positions_per_key: int | None = None,
+) -> DataFrame:
     """Within-doc window matches under octave equivalence.
 
     The reference's octave-invariant matcher normalizes each note into
     the C4 octave before comparing windows (controller:335-397 with
     _find_octave_invariant_note_vol_matches ...:399-427) — i.e. two
-    windows match iff they are pointwise equal mod 12.  Relationally
-    that's an equi-join on the mod-12 window key (an inverted index),
-    never the reference's positional triple loop."""
+    windows match iff they are pointwise equal mod 12.  Same grouped
+    inverted-index shape as ``exact_window_matches`` (one shuffle,
+    in-array pair expansion, optional skew cap) with the mod-12 key —
+    never the reference's positional triple loop, and never a self-join."""
     words = F.col("tokens")
     win = F.when(
         F.size(words) >= window_size,
         F.transform(
             F.sequence(F.lit(0), F.size(words) - window_size),
-            lambda i: F.concat_ws(
-                "_",
-                F.transform(
-                    F.slice(words, i + 1, window_size),
-                    lambda x: F.pmod(x, F.lit(12)).cast("int"),
+            lambda i: F.when(
+                F.exists(
+                    F.slice(words, i + 1, window_size), lambda x: x.isNull()
                 ),
+                F.lit(None).cast("string"),
+            ).otherwise(
+                F.concat_ws(
+                    "_",
+                    F.transform(
+                        F.slice(words, i + 1, window_size),
+                        lambda x: F.pmod(x, F.lit(12)).cast("int"),
+                    ),
+                )
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = tokens_df.select("doc_id", F.posexplode(win).alias("pos", "key"))
-    return (
-        sh.alias("a")
-        .join(sh.alias("b"), ["doc_id", "key"])
-        .filter(F.col("a.pos") < F.col("b.pos"))
-        .select(
-            "doc_id",
-            F.col("a.pos").alias("q_start"),
-            F.col("b.pos").alias("db_start"),
-            F.lit(window_size).alias("window_size"),
-        )
+    sh = tokens_df.select("doc_id", F.posexplode(win).alias("pos", "win")).filter(
+        F.col("win").isNotNull()
     )
+    return _expand_position_pairs(sh, window_size, max_positions_per_key)
 
 
 def stm_interference_events(
@@ -322,7 +347,12 @@ def stm_interference_events(
 def filter_contained_relational(matches: DataFrame) -> DataFrame:
     """Drop matches strictly contained in another match of the same doc —
     the reference containment anti-filter (_match_contains /
-    _filter_contained_matches, ...:1990-2040) as a left-anti self-join."""
+    _filter_contained_matches, ...:1990-2040) as a left-anti self-join.
+
+    Exact duplicates are deduped first, like the reference and the
+    kernel twin (kernel.matching.filter_contained_matches) — the
+    containment predicate alone would let identical rows through."""
+    matches = matches.distinct()
     m = matches.alias("m")
     o = matches.alias("o")
     contains = (

@@ -51,13 +51,20 @@ def sessionize(events: DataFrame, gap_seconds: int = 3600) -> DataFrame:
     """Split each user's event stream into sessions at gaps ≥ gap_seconds.
 
     lag + cumulative-sum-of-gap-flags (the standard relational
-    sessionization; one shuffle on user_id)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessionization; one shuffle on user_id).  NULL timestamps follow the
+    SQL oracle exactly: they sort last (DuckDB's ASC default) and only a
+    NULL *lagged* epoch opens a session — a row's own NULL ts yields a
+    NULL gap, which is not >= the threshold."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     epoch = F.col("ts").cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
+    lag_epoch = F.lag(epoch).over(w)
     flagged = events.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap >= gap_seconds), F.lit(1)).otherwise(F.lit(0)),
+        F.when(lag_epoch.isNull(), F.lit(1))
+        .when(epoch - lag_epoch >= gap_seconds, F.lit(1))
+        .otherwise(F.lit(0)),
     )
     with_sid = flagged.withColumn(
         "session_idx", F.sum("new_session").over(w)

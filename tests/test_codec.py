@@ -85,3 +85,38 @@ def test_gorilla_roundtrip_property(xs):
 def test_gorilla_compresses_constant():
     enc = encode_gorilla([42.0] * 1000)
     assert len(enc) < 4 + 8 + 1000 + 10  # control bytes only, no payload
+
+
+def test_decode_rejects_unknown_codec_version(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tsc_spark.functions.codec_udfs import decode_tokens_table, encode_tokens_table
+
+    df = spark.createDataFrame(
+        [("d1", [1, 2, 3], 3, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    enc = encode_tokens_table(df)
+    bad = enc.withColumn("codec_version", F.lit(99))
+    with pytest.raises(Exception, match="unsupported codec_version"):
+        decode_tokens_table(bad).collect()
+    # the stamped version decodes fine
+    assert decode_tokens_table(enc).collect()[0].tokens == [1, 2, 3]
+
+
+def test_gorilla_format_is_endian_pinned():
+    """Header little-endian, payload MSB-first — byte-identical to the
+    previous native encoding on little-endian hosts, and decodable
+    regardless of host byte order."""
+    import numpy as np
+
+    from tsc_spark.codecs.gorilla import decode_gorilla, encode_gorilla
+
+    vals = [1.5, -2.25, 1.5, 0.0, 3.141592653589793]
+    blob = encode_gorilla(vals)
+    assert np.frombuffer(blob[:4], dtype="<u4")[0] == 5
+    assert np.frombuffer(blob[4:12], dtype="<u8")[0] == np.array(
+        [1.5], dtype=np.float64
+    ).view("<u8")[0]
+    assert decode_gorilla(blob).tolist() == vals

@@ -137,3 +137,30 @@ class TestStreamingRetention:
         )
         assert got == expected
         assert len(got) > 0
+
+
+def test_swap_recovery_restores_interrupted_swap(tmp_path):
+    """A crash between swap_in_dir's two renames leaves the data in the
+    .swap_old backup; recovery restores it instead of losing history or
+    wedging on the stale backup."""
+    import os
+
+    from tsc_spark.operators.retention import recover_swapped_dir, swap_in_dir
+
+    path = str(tmp_path / "sink")
+    # simulate the crash window: path missing, backup holds the data
+    os.makedirs(path + ".swap_old")
+    open(os.path.join(path + ".swap_old", "part-0"), "w").write("history")
+    recover_swapped_dir(path)
+    assert os.path.isdir(path)
+    assert open(os.path.join(path, "part-0")).read() == "history"
+    assert not os.path.isdir(path + ".swap_old")
+
+    # a normal swap with a stale backup lying around still succeeds
+    os.makedirs(path + ".swap_old")
+    tmp = str(tmp_path / "new")
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "part-1"), "w").write("swept")
+    swap_in_dir(path, tmp)
+    assert open(os.path.join(path, "part-1")).read() == "swept"
+    assert not os.path.isdir(path + ".swap_old")

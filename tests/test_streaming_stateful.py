@@ -74,3 +74,49 @@ def test_chunked_stream_converges_to_batch_timeline(spark, tokens_rows, tmp_path
         for ws, cid, inds in mgr.timeline():
             want[(doc_id, ws, cid)] = list(inds)
     assert got == want
+
+
+def test_out_of_order_and_duplicate_chunks_converge(spark, tokens_rows, tmp_path):
+    """Chunks delivered out of order ACROSS micro-batches (seq 2 before
+    seq 1) and re-delivered duplicates must still converge to the exact
+    batch timeline — the state machine buffers future chunks and only
+    applies the consecutive prefix."""
+    from tsc_spark.kernel.api import analyse_tokens
+    from tsc_spark.streaming.stateful import CHUNK_SCHEMA
+
+    src = str(tmp_path / "src_ooo")
+    out = str(tmp_path / "out_ooo")
+    ckpt = str(tmp_path / "ckpt_ooo")
+
+    doc_id, toks = next((d, t) for d, t, _s in tokens_rows if len(t) >= 9)
+    k = len(toks) // 3
+    chunks = {
+        0: [int(x) for x in toks[:k]],
+        1: [int(x) for x in toks[k : 2 * k]],
+        2: [int(x) for x in toks[2 * k :]],
+    }
+    # batch 1: seq 0 and seq 2 (gap) — only seq 0 may be applied
+    spark.createDataFrame(
+        [(doc_id, 0, chunks[0]), (doc_id, 2, chunks[2])], CHUNK_SCHEMA
+    ).write.mode("append").parquet(src)
+    _run_chunks(spark, src, out, ckpt)
+    # batch 2: seq 1 (fills the gap) + a duplicate redelivery of seq 0
+    spark.createDataFrame(
+        [(doc_id, 1, chunks[1]), (doc_id, 0, chunks[0])], CHUNK_SCHEMA
+    ).write.mode("append").parquet(src)
+    _run_chunks(spark, src, out, ckpt)
+
+    emitted = spark.read.parquet(out)
+    final_n = emitted.agg(F.max("n_points")).collect()[0][0]
+    assert final_n == len(toks)  # every token applied exactly once
+    got = sorted(
+        (r.window_size, r.cluster_id, list(r.indices))
+        for r in emitted.filter(F.col("n_points") == final_n).collect()
+    )
+    expected = sorted(
+        (ws, cid, list(inds))
+        for ws, cid, inds in analyse_tokens(
+            [int(x) for x in toks], 0.3
+        ).timeline()
+    )
+    assert got == expected

@@ -28,17 +28,20 @@ CODEC_VERSION = 1
 def encode_gorilla(values) -> bytes:
     arr = np.ascontiguousarray(np.asarray(values, dtype=np.float64))
     n = arr.shape[0]
-    head = np.uint32(n).tobytes()
+    # at-rest format is endian-pinned (header/first LE, payload MSB-
+    # first) so blobs are portable across hosts; on little-endian
+    # machines the bytes are identical to the previous native encoding
+    head = np.array([n], dtype="<u4").tobytes()
     if n == 0:
         return head
     bits = arr.view(np.uint64)
-    first = bits[0:1].tobytes()
+    first = bits[0:1].astype("<u8").tobytes()
     if n == 1:
         return head + first
 
     x = bits[1:] ^ bits[:-1]
     m = x.shape[0]
-    xb = x.byteswap().view(np.uint8).reshape(m, 8)  # MSB-first byte matrix
+    xb = x.astype(">u8").view(np.uint8).reshape(m, 8)  # MSB-first bytes
     nz = xb != 0
     any_nz = nz.any(axis=1)
     first_nz = np.where(any_nz, nz.argmax(axis=1), 8)
@@ -60,10 +63,10 @@ def encode_gorilla(values) -> bytes:
 
 def decode_gorilla(data: bytes) -> np.ndarray:
     buf = np.frombuffer(data, dtype=np.uint8)
-    n = int(np.frombuffer(buf[:4].tobytes(), dtype=np.uint32)[0])
+    n = int(np.frombuffer(buf[:4].tobytes(), dtype="<u4")[0])
     if n == 0:
         return np.empty(0, dtype=np.float64)
-    first = np.frombuffer(buf[4:12].tobytes(), dtype=np.uint64)[0]
+    first = np.frombuffer(buf[4:12].tobytes(), dtype="<u8").astype(np.uint64)[0]
     xors = np.empty(n, dtype=np.uint64)
     xors[0] = first
     m = n - 1
@@ -80,6 +83,6 @@ def decode_gorilla(data: bytes) -> np.ndarray:
         col = np.repeat(lead, sig) + within
         xb = np.zeros((m, 8), dtype=np.uint8)
         xb[row, col] = payload[:total_pay]
-        xors[1:] = xb.view(np.uint64).byteswap().ravel()
+        xors[1:] = xb.view(">u8").astype(np.uint64).ravel()
     bits = np.bitwise_xor.accumulate(xors)
     return bits.view(np.float64).copy()

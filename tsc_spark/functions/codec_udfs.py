@@ -60,10 +60,28 @@ def encode_tokens_table(tokens_df: DataFrame) -> DataFrame:
 
 
 def decode_tokens_table(encoded_df: DataFrame) -> DataFrame:
-    """Inverse of encode_tokens_table: restore the tokens column."""
+    """Inverse of encode_tokens_table: restore the tokens column.
+
+    Validates ``codec_version`` (the column encode_tokens_table stamps
+    exactly so decoding can be gated): an unknown version raises a clear
+    error instead of silently mis-decoding with the wrong layout."""
+    if "codec_version" in encoded_df.columns:
+        version_ok = F.when(
+            F.col("codec_version") == CODEC_VERSION, F.col("encoded")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unsupported codec_version "),
+                    F.col("codec_version").cast("string"),
+                    F.lit(f" (decoder supports {CODEC_VERSION})"),
+                )
+            )
+        )
+    else:
+        version_ok = F.col("encoded")
     return encoded_df.select(
         "doc_id",
-        decode_tokens_udf("encoded").alias("tokens"),
+        decode_tokens_udf(version_ok).alias("tokens"),
         "n_tok",
         "source",
     )

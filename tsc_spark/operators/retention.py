@@ -37,7 +37,45 @@ __all__ = [
     "retention_sweep",
     "retention_plan",
     "apply_retention",
+    "recover_swapped_dir",
+    "swap_in_dir",
 ]
+
+
+def recover_swapped_dir(path: str) -> None:
+    """Crash recovery for ``swap_in_dir``: if a previous swap died
+    between its two renames, ``path`` is missing and the backup holds
+    the data — restore it.  A stale backup alongside an intact ``path``
+    means the swap completed; drop it."""
+    import os
+    import shutil
+
+    old = path + ".swap_old"
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            os.rename(old, path)  # the interrupted swap's data, restored
+        else:
+            shutil.rmtree(old)
+
+
+def swap_in_dir(path: str, tmp: str) -> None:
+    """Replace directory ``path`` with fully-written ``tmp`` via
+    rename-to-backup + rename-in + drop-backup.
+
+    Not truly atomic (POSIX has no two-directory exchange): a crash
+    between the renames leaves ``path`` missing and the data in the
+    backup — which ``recover_swapped_dir`` (called here on entry, and
+    callable at startup) restores, so the failure mode is "sweep didn't
+    happen", never data loss or a permanently wedged sink."""
+    import os
+    import shutil
+
+    recover_swapped_dir(path)
+    old = path + ".swap_old"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 # keep raw windows briefly, rolled-up tiers progressively longer —
 # the classic downsample-and-expire ladder (tier0 raw / tier1 8x / tier2 64x)
@@ -147,13 +185,9 @@ def apply_retention(
             tmp = path + ".retention_tmp"
             survivors.write.mode("overwrite").parquet(tmp)
             survivors.unpersist()
-            # atomic swap: readers see old or new, never a partial dir
-            old = path + ".retention_old"
-            os.rename(path, old)
-            os.rename(tmp, path)
-            import shutil
-
-            shutil.rmtree(old)
+            # swap: readers see old or new, never a partial dir; crash
+            # recovery via recover_swapped_dir (see swap_in_dir)
+            swap_in_dir(path, tmp)
             record["tiers"][str(tier)] = {"rows_before": before, "rows_after": after}
         with open(mpath) as f:
             manifest = json.load(f)

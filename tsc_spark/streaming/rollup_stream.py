@@ -138,32 +138,46 @@ def run_rollup_stream_with_retention(
     The north rule's retention leg in the streaming tier: each
     micro-batch appends its tier windows to the sink, then the TTL sweep
     (operators.retention.retention_sweep — per-doc keep-last horizon)
-    rewrites the sink to survivors with an atomic directory swap.  At
-    cluster scale the sweep degenerates to partition drops over a
-    window-partitioned sink (see retention_plan's drop/keep/rewrite
-    split); the sandbox executor rewrites the whole tier, which is the
-    same logical result.  foreachBatch caveat: the append itself is
-    at-least-once on retries — the batch-id can be used for idempotent
-    sinks; the sweep is idempotent by construction.
+    rewrites the sink to survivors with a crash-recoverable directory
+    swap (retention.swap_in_dir).  At cluster scale the sweep
+    degenerates to partition drops over a window-partitioned sink (see
+    retention_plan's drop/keep/rewrite split); the sandbox executor
+    rewrites the whole tier, which is the same logical result.
+    foreachBatch is at-least-once on retries, so the handler is made
+    idempotent with a committed-batch marker: a replayed batch_id that
+    already committed is skipped (the residual window — a crash after
+    the append but before the marker write — re-appends once; exactly-
+    once needs a transactional sink).
     """
     import os
-    import shutil
 
-    from ..operators.retention import DEFAULT_RETENTION_POLICY, retention_sweep
+    from ..operators.retention import (
+        DEFAULT_RETENTION_POLICY,
+        recover_swapped_dir,
+        retention_sweep,
+        swap_in_dir,
+    )
 
     pol = DEFAULT_RETENTION_POLICY if policy is None else policy
+    marker = out_dir + ".last_batch"
+    recover_swapped_dir(out_dir)  # heal an interrupted swap from a crash
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if int(f.read().strip() or -1) >= batch_id:
+                    return  # replayed batch that already committed
         rollup_arrays(batch_df, TIER_STRIDES[tier], tier).write.mode("append").parquet(
             out_dir
         )
         survivors = retention_sweep(spark.read.parquet(out_dir), pol)
         tmp = out_dir + ".sweep_tmp"
         survivors.write.mode("overwrite").parquet(tmp)
-        old = out_dir + ".sweep_old"
-        os.rename(out_dir, old)
-        os.rename(tmp, out_dir)
-        shutil.rmtree(old)
+        swap_in_dir(out_dir, tmp)
+        mtmp = marker + ".tmp"
+        with open(mtmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(mtmp, marker)
 
     q = (
         stream_tokens(spark, src_dir)

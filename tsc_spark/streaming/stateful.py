@@ -10,9 +10,13 @@ and emits the doc's refreshed timeline.  Because state is checkpointed,
 a killed job resumes mid-series without re-reading earlier chunks —
 streaming-tier lineage to match the batch pipeline's bucket manifests.
 
-Scale: state per doc is the cluster forest (~O(clusters)); docs
-partition across executors by doc_id hash.  The state store (RocksDB in
-production) spills to disk, so total state is not executor-memory-bound.
+Scale: state per doc is the full kernel manager — the token buffer plus
+the cluster forest, i.e. O(points seen so far) — re-serialized each
+micro-batch the doc receives data; docs partition across executors by
+doc_id hash and the state store (RocksDB in production) spills to disk,
+so total state is not executor-memory-bound, but very long-lived series
+pay growing per-batch state I/O (bound series length, or window the
+clustering, for unbounded streams).
 """
 
 from __future__ import annotations
@@ -64,24 +68,46 @@ def _make_update_fn(merge_threshold_ratio: float):
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         from ..kernel.api import analyse_tokens
-        from ..kernel.manager import ClusterManager
 
         (doc_id,) = key
-        chunks = pd.concat(list(pdfs))
+        batch = list(pdfs)
+        chunks = pd.concat(batch) if batch else pd.DataFrame()
         if chunks.empty:
             return
-        chunks = chunks.sort_values("seq_no")
-        new_tokens = [int(t) for arr in chunks["tokens_chunk"] for t in arr]
 
+        # state = (manager | None, next expected seq_no, pending
+        # out-of-order chunks {seq_no: tokens}).  Chunks may arrive in
+        # any order ACROSS micro-batches (file listing order, late
+        # files, maxFilesPerTrigger splits) and may be re-delivered;
+        # only the consecutive prefix from next_seq is ever applied, so
+        # the appended token order — and therefore the timeline — is
+        # chunk-order-invariant, and duplicates (seq < next_seq or
+        # already pending) are dropped.
         if state.exists:
-            mgr: ClusterManager = pickle.loads(bytes(state.get[0]))
-            for v in new_tokens:
-                mgr.add_data_point(float(v))
+            mgr, next_seq, pending = pickle.loads(bytes(state.get[0]))
         else:
-            if not new_tokens:
-                return
-            mgr = analyse_tokens(new_tokens, merge_threshold_ratio)
-        state.update((pickle.dumps(mgr),))
+            mgr, next_seq, pending = None, 0, {}
+
+        for _, row in chunks.iterrows():
+            seq = int(row["seq_no"])
+            if seq >= next_seq and seq not in pending:
+                pending[seq] = [int(t) for t in row["tokens_chunk"]]
+
+        applied = False
+        while next_seq in pending:
+            toks = pending.pop(next_seq)
+            next_seq += 1
+            if not toks:
+                continue
+            if mgr is None:
+                mgr = analyse_tokens(toks, merge_threshold_ratio)
+            else:
+                for v in toks:
+                    mgr.add_data_point(float(v))
+            applied = True
+        state.update((pickle.dumps((mgr, next_seq, pending)),))
+        if mgr is None or not applied:
+            return
 
         rows = {"doc_id": [], "n_points": [], "window_size": [], "cluster_id": [], "indices": []}
         n = mgr.n

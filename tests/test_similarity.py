@@ -296,3 +296,69 @@ def test_dedup_components_random_graphs_match_union_find(spark):
         df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
         got = {r.doc_id: r.component for r in dedup_components(df).collect()}
         assert got == expected, f"trial {trial}"
+
+
+def test_zero_norm_embeddings_never_rank_or_pair(spark):
+    """All-zero embeddings (padding / failed encodes) must score 0.0,
+    not NaN — Spark sorts NaN above everything and NaN >= t is true, so
+    unclamped zero vectors would fill top-k and near-dup outputs."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, rng.standard_normal(8).tolist()) for i in range(1, 6)]
+    vecs.append((100, [0.0] * 8))
+    vecs.append((101, None))  # NULL embeddings are ignored, not a crash
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    from tsc_spark.operators.similarity import cosine_topk, near_dup_embeddings
+
+    top = cosine_topk(emb, [1.0] * 8, k=10).collect()
+    by_id = {r.vec_id: r.cosine for r in top}
+    assert by_id[100] == 0.0  # clamped, not NaN
+    assert top[0].vec_id != 100  # and not ranked first
+    assert 101 not in by_id
+    pairs = near_dup_embeddings(emb, dim=8, threshold=0.9).collect()
+    assert all(100 not in (r.vec_a, r.vec_b) for r in pairs)
+
+
+def test_lsh_bands_validation(spark, docs_df=None):
+    import pytest
+
+    from tsc_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c d e"), ("d2", "a b c d e")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="bands must divide k"):
+        lsh_candidate_pairs(docs, k=8, bands=3)
+    with pytest.raises(ValueError, match="bands must be in"):
+        lsh_candidate_pairs(docs, k=8, bands=16)
+
+
+def test_simhash_bits_validation(spark):
+    import pytest
+
+    from tsc_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame([("d1", "a b")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="bits must be in"):
+        simhash(docs, bits=48)
+
+
+def test_ragged_embedding_batch_raises_clearly(spark):
+    import pytest
+
+    from tsc_spark.operators.similarity import cosine_scores
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    ).repartition(1)  # same Arrow batch -> the batch-shape guard fires
+    with pytest.raises(Exception, match="ragged embedding lengths"):
+        cosine_scores(emb, [1.0, 1.0]).collect()
+    # a homogeneous batch whose dim differs from the query also reports
+    # clearly instead of an opaque matmul gufunc error
+    emb2 = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="ragged embedding lengths"):
+        cosine_scores(emb2, [1.0, 1.0]).collect()

@@ -148,6 +148,12 @@ def lsh_candidate_pairs(
     docs: DataFrame, n: int = 3, k: int = 8, bands: int = 4
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs."""
+    if not (1 <= bands <= k):
+        raise ValueError(f"bands must be in [1, k]; got bands={bands}, k={k}")
+    if k % bands != 0:
+        # a non-dividing band count would silently ignore the trailing
+        # minhashes, changing recall from the requested configuration
+        raise ValueError(f"bands must divide k; got bands={bands}, k={k}")
     sig = minhash_signatures(docs, n, k)
     rows_per_band = k // bands
     band_cols = []
@@ -315,6 +321,8 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over word features: sign-aggregated bit votes.
 
     bit_j(doc) = 1 iff Σ_words (hash_bit_j(word) ? +1 : -1) > 0."""
+    if not (1 <= bits <= 32):
+        raise ValueError(f"bits must be in [1, 32] (_h32 is 32-bit); got {bits}")
     words = ensure_min_partitions(docs).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )

@@ -27,6 +27,21 @@ __all__ = [
 ]
 
 
+def _batch_matrix(s) -> "np.ndarray":
+    """Stack an Arrow batch of embeddings into an (n, dim) float matrix,
+    failing with a CLEAR error on ragged lengths instead of numpy's
+    opaque inhomogeneous-shape crash (NULL rows are filtered upstream)."""
+    try:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in s])
+    except ValueError as exc:  # numpy >= 1.24 raises on inhomogeneous rows
+        lens = sorted({len(v) for v in s})
+        raise ValueError(f"ragged embedding lengths in batch: {lens}") from exc
+    if m.dtype == object:  # older numpy builds an object array instead
+        lens = sorted({len(v) for v in s})
+        raise ValueError(f"ragged embedding lengths in batch: {lens}")
+    return m
+
+
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -55,18 +70,28 @@ def cosine_scores(
     pandas_udf: one ``m @ q`` per Arrow batch — the per-row cost is a
     C-loop multiply-add, not 64 interpreted expression nodes."""
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.sqrt((q * q).sum()))
+    qn = max(float(np.sqrt((q * q).sum())), 1e-12)
 
     @F.pandas_udf("double")
     def _score(s: pd.Series) -> pd.Series:
         if len(s) == 0:
             return pd.Series([], dtype="float64")
-        m = np.array([np.asarray(v, dtype=np.float64) for v in s])
+        m = _batch_matrix(s)
+        if m.shape[1] != q.shape[0]:
+            raise ValueError(
+                f"ragged embedding lengths: batch dim {m.shape[1]} != "
+                f"query dim {q.shape[0]}"
+            )
         dots = m @ q
-        norms = np.sqrt((m * m).sum(axis=1))
+        # zero-norm clamp: an all-zero embedding scores 0.0, not NaN
+        # (Spark treats NaN as greatest, so NaN would top the DESC sort
+        # and pass >= thresholds)
+        norms = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-12)
         return pd.Series(dots / (norms * qn))
 
-    return emb.withColumn(out_col, F.round(_score("embedding"), 6))
+    return emb.filter(F.col("embedding").isNotNull()).withColumn(
+        out_col, F.round(_score("embedding"), 6)
+    )
 
 
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10) -> DataFrame:
@@ -89,10 +114,17 @@ def _batch_matmul_int_udf(mat: np.ndarray, post):
     def _f(s: pd.Series) -> pd.Series:
         if len(s) == 0:
             return pd.Series([], dtype="int32")
-        x = np.array([np.asarray(v, dtype=np.float64) for v in s])
+        x = _batch_matrix(s)
         return pd.Series(post(x @ mat.T).astype("int32"))
 
     return _f
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic seeded hyperplane matrix — the single source for
+    corpus bucketing, query bucketing and the oracle replica (a seed
+    drift between them would silently send probes to the wrong buckets)."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
 def hyperplane_buckets(
@@ -102,12 +134,13 @@ def hyperplane_buckets(
 
     Planes are a deterministic seeded matrix; the bucket is the
     concatenated sign bits of the plane dot products, computed as one
-    vectorized matmul per Arrow batch."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    vectorized matmul per Arrow batch.  NULL embeddings are ignored."""
+    planes = _planes(dim, n_planes, seed)
     bits = 1 << np.arange(n_planes)
     bucket_udf = _batch_matmul_int_udf(planes, lambda sims: (sims > 0) @ bits)
-    return emb.select("vec_id", "embedding", bucket_udf("embedding").alias("bucket"))
+    return emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", bucket_udf("embedding").alias("bucket")
+    )
 
 
 def ann_topk_lsh(
@@ -128,8 +161,7 @@ def ann_topk_lsh(
     bucket → the probe set is an IN-list partition-pruned scan."""
     from itertools import combinations
 
-    rng = np.random.default_rng(7)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = _planes(dim, n_planes, seed=7)
     qv = np.asarray(query_vec, dtype=np.float64)
     qbucket = 0
     for j in range(n_planes):
@@ -142,7 +174,7 @@ def ann_topk_lsh(
             for j in flips:
                 b ^= 1 << j
             probes.append(b)
-    bucketed = hyperplane_buckets(emb, dim, n_planes)
+    bucketed = hyperplane_buckets(emb, dim, n_planes, seed=7)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k)
 
@@ -167,7 +199,12 @@ def ivf_fit_centroids(
     iterations over unit-normalized vectors ≈ spherical k-means for
     cosine.  Fully reproducible from SQL (ORDER BY id LIMIT max_train),
     which is how the DuckDB oracle re-derives the same centroids."""
-    df = emb.select(id_col, "embedding").orderBy(id_col).limit(int(max_train))
+    df = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(id_col, "embedding")
+        .orderBy(id_col)
+        .limit(int(max_train))
+    )
     x = np.array([list(r[1]) for r in df.collect()], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     x = x / np.maximum(norms, 1e-12)
@@ -211,16 +248,28 @@ def ivf_fit_centroids_distributed(
     aggregation over the exploded dimensions.  Driver memory is
     O(n_centroids·dim) regardless of corpus size."""
     # deterministic seeded init from the bounded sample (no Lloyd yet)
-    df0 = emb.select(id_col, "embedding").orderBy(id_col).limit(int(init_train))
+    df0 = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(id_col, "embedding")
+        .orderBy(id_col)
+        .limit(int(init_train))
+    )
     x0 = np.array([list(r[1]) for r in df0.collect()], dtype=np.float64)
     x0 = x0 / np.maximum(np.linalg.norm(x0, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cents = x0[rng.choice(x0.shape[0], size=min(n_centroids, x0.shape[0]), replace=False)]
 
+    # hoist the norm to a column: dividing by _norm() inside the
+    # transform lambda would re-evaluate the full fold per element
+    # (O(dim^2) interpreted work per row, per Lloyd iteration)
     norm_emb = F.transform(
-        "embedding", lambda v: v.cast("double") / _norm(F.col("embedding"))
+        "embedding", lambda v: v.cast("double") / F.col("nrm")
     )
-    normed = emb.select(norm_emb.alias("e"))
+    normed = (
+        emb.filter(F.col("embedding").isNotNull())
+        .withColumn("nrm", F.greatest(_norm(F.col("embedding")), F.lit(1e-12)))
+        .select(norm_emb.alias("e"))
+    )
     for _ in range(int(n_iters)):
         assigned = normed.withColumn(
             "c", _nearest_centroid_col(cents, col="e")
@@ -236,14 +285,19 @@ def ivf_fit_centroids_distributed(
         )
         new_cents = cents.copy()
         acc: dict[int, np.ndarray] = {}
-        cnt: dict[int, int] = {}
         for r in sums:
-            acc.setdefault(r["c"], np.zeros(dim))[r["d"]] = r["s"]
-            cnt[r["c"]] = r["n"]
-        for c, vec in acc.items():
-            if cnt.get(c, 0) > 0:
-                m = vec / cnt[c]
-                new_cents[c] = m / max(np.linalg.norm(m), 1e-12)
+            if r["d"] >= dim:
+                raise ValueError(
+                    f"embedding dimension {r['d']} exceeds dim={dim}"
+                )
+            # per-dimension mean s/n — robust to null-skipped sums
+            # (with full vectors every dimension shares the same n, so
+            # this equals the old sum/count; with nulls the old code
+            # divided by an arbitrary dimension's count)
+            if r["n"] > 0:
+                acc.setdefault(r["c"], np.zeros(dim))[r["d"]] = r["s"] / r["n"]
+        for c, m in acc.items():
+            new_cents[c] = m / max(np.linalg.norm(m), 1e-12)
         cents = new_cents
     return cents
 
@@ -274,6 +328,7 @@ def ivf_assign(emb: DataFrame, cents: np.ndarray, impl: str = "pandas") -> DataF
     two paths assign identically.  At corpus scale the result is
     written partitioned by ``ivf_list`` so a probe scans only
     nprobe/n_centroids of the data (partition pruning), the IVF payoff."""
+    emb = emb.filter(F.col("embedding").isNotNull())
     if impl == "native":
         return emb.withColumn("ivf_list", _nearest_centroid_col(cents))
     assign_udf = _batch_matmul_int_udf(
@@ -345,7 +400,11 @@ def near_dup_embeddings(
     # norms computed ONCE per vector (same fold expression, so the values
     # are bit-identical to computing them inside each pair) — the verify
     # join then pays one dot per candidate pair instead of dot + 2 norms
-    ids = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    ids = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        "embedding",
+        F.greatest(_norm(F.col("embedding")), F.lit(1e-12)).alias("nrm"),
+    )
     cand = None
     for t in range(int(n_tables)):
         b = hyperplane_buckets(emb, dim, n_planes, seed=seed + t).select(

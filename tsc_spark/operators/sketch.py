@@ -45,7 +45,7 @@ def kmv_distinct(
     hashed = (
         df.select(*groups, value_col)
         .distinct()
-        .select(*groups, _h32(F.col(value_col), seed).alias("h"))
+        .select(*groups, _h32(F.col(value_col).cast("string"), seed).alias("h"))
         # proper KMV tracks distinct HASH values: two distinct inputs
         # whose 32-bit hashes collide count once (matches the SQL twin)
         .distinct()

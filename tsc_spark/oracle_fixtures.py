@@ -535,10 +535,10 @@ scored AS (
          round(
            (SELECT SUM(c.emb[i] * q.qe[i])
             FROM unnest(generate_series(1, len(c.emb))) AS t(i))
-           / (sqrt((SELECT SUM(c.emb[i] * c.emb[i])
-                    FROM unnest(generate_series(1, len(c.emb))) AS t(i)))
-              * sqrt((SELECT SUM(q.qe[i] * q.qe[i])
-                      FROM unnest(generate_series(1, len(q.qe))) AS t(i)))),
+           / (greatest(sqrt((SELECT SUM(c.emb[i] * c.emb[i])
+                    FROM unnest(generate_series(1, len(c.emb))) AS t(i))), 1e-12)
+              * greatest(sqrt((SELECT SUM(q.qe[i] * q.qe[i])
+                      FROM unnest(generate_series(1, len(q.qe))) AS t(i))), 1e-12)),
            6) AS cosine
   FROM cand c, q
 )
@@ -632,10 +632,10 @@ scored AS (
          round(
            (SELECT SUM(ea[i] * eb[i])
             FROM unnest(generate_series(1, len(ea))) AS t(i))
-           / (sqrt((SELECT SUM(ea[i] * ea[i])
-                    FROM unnest(generate_series(1, len(ea))) AS t(i)))
-              * sqrt((SELECT SUM(eb[i] * eb[i])
-                      FROM unnest(generate_series(1, len(eb))) AS t(i)))),
+           / (greatest(sqrt((SELECT SUM(ea[i] * ea[i])
+                    FROM unnest(generate_series(1, len(ea))) AS t(i))), 1e-12)
+              * greatest(sqrt((SELECT SUM(eb[i] * eb[i])
+                      FROM unnest(generate_series(1, len(eb))) AS t(i))), 1e-12)),
            6) AS cosine
   FROM pairs
 )

@@ -43,9 +43,16 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        try:
-            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 32
-        except ValueError:
+        if "[" in master:
+            spec = master.split("[")[1].rstrip("]")
+            if spec == "*":
+                n = os.cpu_count() or 32  # local[*] = all cores
+            else:
+                try:
+                    n = int(spec)
+                except ValueError:
+                    n = 32
+        else:
             n = 32
         shuffle_partitions = max(n, 8)
 

@@ -3,9 +3,13 @@
 The reference seeds corpus metadata from a CSV sidecar
 (/root/reference/scripts/seed_influx.jl metadata.csv handling): one row
 per doc with source/label attributes, deduplicated on doc_id.  The
-Spark shape is a schema-pinned csv read (never inferSchema on a big
-sidecar — one pass, no sampling job) with last-write-wins dedup, ready
-to broadcast-join against the corpus.
+Spark shape is a header-name-resolved, type-pinned csv read (never
+inferSchema on a big sidecar — one pass, no sampling job) with a
+DETERMINISTIC lexicographic-max dedup per doc_id.  Note: the reference
+keeps the FIRST file-order occurrence; a distributed scan has no
+portable row order, so the engine substitutes the deterministic
+lexicographic rule — callers needing file-order precedence should add
+an explicit priority column.
 """
 
 from __future__ import annotations
@@ -28,10 +32,26 @@ METADATA_SCHEMA = StructType(
 def read_metadata_csv(spark: SparkSession, path: str) -> DataFrame:
     """Deduplicated metadata table from a CSV sidecar.
 
-    Duplicate doc_ids keep the lexicographically-last (source, label)
-    row — deterministic at any parallelism (plain dropDuplicates keeps
-    an arbitrary partition's row)."""
-    raw = spark.read.csv(path, header=True, schema=METADATA_SCHEMA)
+    Columns are resolved BY HEADER NAME (an explicit schema alone binds
+    positionally, silently mis-parsing a reordered sidecar — the
+    reference resolves via a header dict too); missing required columns
+    raise.  Duplicate doc_ids keep the lexicographically-last
+    (source, label) row — deterministic at any parallelism (plain
+    dropDuplicates keeps an arbitrary partition's row)."""
+    all_str = spark.read.csv(path, header=True, inferSchema=False)
+    wanted = [f.name for f in METADATA_SCHEMA.fields]
+    missing = [c for c in wanted if c not in all_str.columns]
+    if missing:
+        raise ValueError(
+            f"metadata sidecar {path} is missing required columns {missing}; "
+            f"found {all_str.columns}"
+        )
+    raw = all_str.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in METADATA_SCHEMA.fields
+        ]
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc_nulls_last("source"), F.desc_nulls_last("label")
     )
@@ -64,7 +84,7 @@ def read_with_fallback(spark: SparkSession, paths: list[str], format: str = "par
     table locations (e.g. primary Iceberg catalog, then a replica
     path) — the first readable one wins, and the error of the LAST
     attempt propagates if none are."""
-    from pyspark.errors import AnalysisException
+    import sys
 
     last_err: Exception | None = None
     for p in paths:
@@ -72,6 +92,15 @@ def read_with_fallback(spark: SparkSession, paths: list[str], format: str = "par
             df = spark.read.format(format).load(p)
             df.schema  # force resolution so a missing path fails HERE
             return df
-        except AnalysisException as e:  # path missing / unreadable
+        except Exception as e:
+            # auth failures and unreachable endpoints surface as
+            # Py4JJavaError/IOException wrappers, not AnalysisException —
+            # the fallback exists precisely for those, so catch broadly
+            # and report which source was skipped
+            print(
+                f"read_with_fallback: {p} unreadable "
+                f"({type(e).__name__}); trying next source",
+                file=sys.stderr,
+            )
             last_err = e
     raise last_err if last_err is not None else ValueError("no paths given")

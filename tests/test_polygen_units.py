@@ -284,3 +284,49 @@ class TestAreaDecisionHandComputedParity:
         )
         anchors = [d["area_tmp_anchor"] for d in out["decisions"]]
         assert anchors == [[52, 52]]
+
+
+class TestDimensionPolicyAliases:
+    """Reference alias keys (controller:2975-3013): default_dim_policy as
+    the block name; receive_params/enabled/use_user_params for the accept
+    flag; fallback_value/value for the fixed value; and any bare
+    non-bool value (including numeric strings) IS the fixed value."""
+
+    def _payload(self, policy_key, policy):
+        ctx_row = [[60], 1.0, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]
+        return {
+            "bpm": 240,
+            "initial_context": [[list(ctx_row)]],
+            "stream_counts": [1],
+            policy_key: policy,
+            "merge_threshold_ratio": 0.02,
+        }
+
+    def test_default_dim_policy_alias_and_value_key(self):
+        from tsc_spark.kernel.polygen import generate_polyphonic
+
+        out = generate_polyphonic(
+            self._payload(
+                "default_dim_policy",
+                {"vol": {"enabled": False, "value": 0.3}},
+            )
+        )
+        gen = out["results"][1][0]
+        assert gen[1] == 0.3  # vol fixed via alias keys, not searched
+
+    def test_bare_numeric_string_is_fixed_value(self):
+        from tsc_spark.kernel.polygen import generate_polyphonic
+
+        out = generate_polyphonic(
+            self._payload("dimension_policy", {"brightness": "0.7"})
+        )
+        gen = out["results"][1][0]
+        assert gen[2] == 0.7  # string routed to the fixed value
+
+    def test_inf_clamps_to_range_edge(self):
+        from tsc_spark.kernel.polygen import _clamp01, _f
+
+        assert _f(float("inf")) == float("inf")
+        assert _clamp01(float("inf")) == 1.0
+        assert _clamp01(float("-inf")) == 0.0
+        assert _f(float("nan"), 0.25) == 0.25

@@ -75,9 +75,13 @@ _DIM_IDX = {
 
 
 def _f(x, default=0.0) -> float:
+    """reference _parse_float (controller:2054): Reals pass through —
+    including ±inf, which downstream clamps map to the range edge.  NaN
+    maps to the default (a defensive deviation: Julia would propagate
+    NaN through clamp into the kernel state)."""
     try:
         v = float(x)
-        return v if math.isfinite(v) else float(default)
+        return v if v == v else float(default)
     except (TypeError, ValueError):
         return float(default)
 
@@ -129,15 +133,15 @@ def array_param(gp: dict, key: str, idx0: int):
 
 
 def generate_centered_targets(n: int, center: float, spread: float) -> list[float]:
-    """reference ...:2408-2427 (n >= 1 variant)."""
-    n = max(n, 1)
-    c = _clamp01(center)
-    if n == 1:
-        return [c]
-    s = _clamp01(spread)
-    start = _clamp01(c - s / 2.0)
-    end = _clamp01(c + s / 2.0)
-    return [_clamp01(start + (end - start) * (i / float(n - 1))) for i in range(n)]
+    """reference ...:2408-2427 (n >= 1 variant).
+
+    Delegates to the multistream helper — same math, but NOTE the
+    permuted signatures: this one is (n, center, spread), multistream's
+    is (center, spread, n); both are bare floats, so importing the wrong
+    one would silently clamp the count into [0, 1]."""
+    from .multistream import generate_centered_targets as _gct
+
+    return _gct(center, spread, max(int(n), 1))
 
 
 def ordered_cartesian_product(values: list[float], n: int) -> list[list[float]]:
@@ -405,14 +409,29 @@ def generate_polyphonic(payload: dict) -> dict:
         dim_accept[key] = bool(d["accept_params"])
         dim_fixed[key] = _norm_fixed(key, d["fixed_value"])
         dim_fixed_source[key] = "manual_input"
-    for raw_key, raw_val in (gp.get("dimension_policy") or {}).items():
+    # reference accepts default_dim_policy as an alias for the whole
+    # block (controller:2975-2976)
+    raw_policy = gp.get("dimension_policy")
+    if raw_policy is None:
+        raw_policy = gp.get("default_dim_policy")
+    for raw_key, raw_val in (raw_policy or {}).items():
         key = str(raw_key).strip().lower()
         key = {"sus": "sustain", "tie": "legato", "same_note_legato": "legato"}.get(key, key)
         if key not in MANAGED_DIMS:
             continue
         if isinstance(raw_val, dict):
-            if "accept_params" in raw_val:
-                dim_accept[key] = _b(raw_val["accept_params"], dim_accept[key])
+            # accept-flag aliases (controller:2985-2989)
+            accept_src = next(
+                (
+                    raw_val[k]
+                    for k in ("accept_params", "receive_params", "enabled",
+                              "use_user_params")
+                    if k in raw_val
+                ),
+                None,
+            )
+            if accept_src is not None:
+                dim_accept[key] = _b(accept_src, dim_accept[key])
             src = (
                 raw_val.get("fixed_value_source")
                 or raw_val.get("fixed_source")
@@ -428,11 +447,22 @@ def generate_polyphonic(payload: dict) -> dict:
                     )
                     else "manual_input"
                 )
-            if "fixed_value" in raw_val:
-                dim_fixed[key] = _norm_fixed(key, raw_val["fixed_value"])
-        elif isinstance(raw_val, (bool, str)):
-            dim_accept[key] = _b(raw_val, dim_accept[key])
+            # fixed-value aliases (controller:2994-2996)
+            fixed_src = next(
+                (
+                    raw_val[k]
+                    for k in ("fixed_value", "fallback_value", "value")
+                    if k in raw_val
+                ),
+                None,
+            )
+            if fixed_src is not None:
+                dim_fixed[key] = _norm_fixed(key, fixed_src)
+        elif isinstance(raw_val, bool):
+            dim_accept[key] = raw_val
         elif raw_val is not None:
+            # any other non-nothing value IS the fixed value
+            # (controller:3010-3013) — including numeric strings
             dim_fixed[key] = _norm_fixed(key, raw_val)
 
     def _fixed_area_band_low(stream_idx: int = 0) -> int:
@@ -1111,20 +1141,26 @@ def generate_polyphonic(payload: dict) -> dict:
         def _pc_norm(midi):
             return [C.MIDI_C4 + (n_ % C.STEPS_PER_OCTAVE) for n_ in midi]
 
-        combos = itertools.product(*stream_chord_candidates)
-        evals = []
+        # two streaming passes, O(1) memory like the reference's visitor
+        # enumeration (controller:4280-4330): materializing (combo, d)
+        # tuples for the full cross-stream cartesian product can reach
+        # 1e8+ entries at wide chord_range × density.  Pass 1 finds the
+        # roughness range; pass 2 re-enumerates in the same order
+        # (deterministic product + deterministic STM evaluate) and
+        # tracks the single best combo.
         min_r, max_r = math.inf, -math.inf
-        for combo in combos:
+        for combo in itertools.product(*stream_chord_candidates):
             midi, amps = _global_notes(combo)
             d = stm.evaluate_total(_pc_norm(midi), amps, onset)
-            evals.append((combo, d))
             min_r = min(min_r, d)
             max_r = max(max_r, d)
         span = max_r - min_r
         if span == 0.0:
             span = 1.0
         best_combo, best_c = None, math.inf
-        for combo, d in evals:
+        for combo in itertools.product(*stream_chord_candidates):
+            midi, amps = _global_notes(combo)
+            d = stm.evaluate_total(_pc_norm(midi), amps, onset)
             c = abs(_clamp01((d - min_r) / span) - target01)
             if c < best_c - 1e-12:
                 best_c = c

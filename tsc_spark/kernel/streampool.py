@@ -172,8 +172,16 @@ class StreamPool:
             max_set_size=self.max_simultaneous_notes,
             recency=self.recency,
         )
-        mgr.process_data()
-        mgr.update_caches_permanently()
+        # reference builds stream managers with try/catch noop around
+        # both calls (multi_stream_manager.jl:243-252)
+        try:
+            mgr.process_data()
+        except Exception:
+            pass
+        try:
+            mgr.update_caches_permanently()
+        except Exception:
+            pass
         return mgr
 
     def _scalar_to_strength01(self, x: float) -> float:
@@ -561,7 +569,13 @@ class StreamPool:
             self.pending_absolute_bases = list(absolute_bases)
         for i, stream in enumerate(self.active_stream_containers(n)):
             v = best_chord[i]
-            stream.manager.add_data_point(v)
+            try:
+                stream.manager.add_data_point(v)
+            except Exception:
+                # reference safe_add_data_point! (multi_stream_manager.jl
+                # :1196-1204): a degenerate series must not abort the
+                # request — fall back to pushing the raw point
+                stream.manager._push(v)
             stream.last_value = list(v)
             if self.pending_absolute_bases is not None:
                 base = self.pending_absolute_bases[i]
@@ -579,7 +593,11 @@ class StreamPool:
 
     def update_caches_permanently(self):
         for c in self.stream_pool:
-            c.manager.update_caches_permanently()
+            try:
+                c.manager.update_caches_permanently()
+            except Exception:
+                # reference per-stream try/catch noop (...:1264-1276)
+                pass
         self.pending_absolute_bases = None
 
     def stream_strengths_report(self) -> dict[int, dict]:

@@ -191,11 +191,18 @@ class StmManager:
     def commit(self, midi_notes, amps, onset: float) -> float:
         """Evaluate, prune, then remember the event (reference
         commit!, ...stm_manager.jl:56-64)."""
+        d_cur, interf = self.commit_with_parts(midi_notes, amps, onset)
+        return d_cur + interf
+
+    def commit_with_parts(self, midi_notes, amps, onset: float) -> tuple[float, float]:
+        """commit() that also returns the (current, interference) split —
+        callers needing both would otherwise run evaluate() then commit(),
+        doubling the dominant O(events²) Sethares cost per step."""
         d_cur = self._d(midi_notes, amps)
-        d_total = d_cur + self.memory_interference(midi_notes, amps, onset, d_cur)
+        interf = self.memory_interference(midi_notes, amps, onset, d_cur)
         self.prune(onset)
         self.memory.append((float(onset), list(midi_notes), list(amps), d_cur))
-        return d_total
+        return d_cur, interf
 
     def prune(self, onset: float) -> None:
         """Keep events with decay weight >= prune threshold

@@ -50,8 +50,19 @@ def min_avg_distance(a, b, value_width: float, max_set_size: int) -> float:
     a_avg = a_sum / float(len(a))
     b_sum = sum(min(abs(y - x) for x in a) for y in b)
     b_avg = b_sum / float(len(b))
-    pitch_norm = _clamp01(((a_avg + b_avg) / 2.0) / float(value_width))
-    count_norm = _clamp01(abs(len(a) - len(b)) / float(max_set_size))
+    # degenerate width/size follow the reference's IEEE semantics
+    # (x/0.0 = Inf in Julia -> clamp01 -> 1.0) instead of raising
+    # ZeroDivisionError; 0/0 -> 0.0 (no distance, no clamp effect)
+    mean_d = (a_avg + b_avg) / 2.0
+    if float(value_width) > 0.0:
+        pitch_norm = _clamp01(mean_d / float(value_width))
+    else:
+        pitch_norm = 1.0 if mean_d > 0.0 else 0.0
+    dcount = abs(len(a) - len(b))
+    if float(max_set_size) > 0.0:
+        count_norm = _clamp01(dcount / float(max_set_size))
+    else:
+        count_norm = 1.0 if dcount > 0 else 0.0
     if count_norm <= 0.0:
         return pitch_norm
     return (pitch_norm + count_norm) / 2.0

@@ -324,8 +324,7 @@ def stm_interference_events(
                     notes = [int(toks[2 * k]) + off, int(toks[2 * k + 1]) + off]
                     amps = [0.5, 0.5]
                     onset = k * step
-                    d_cur, interf = stm.evaluate(notes, amps, onset)
-                    stm.commit(notes, amps, onset)
+                    d_cur, interf = stm.commit_with_parts(notes, amps, onset)
                     out["doc_id"].append(doc_id)
                     out["step"].append(k)
                     out["d_current"].append(round(d_cur, 6))

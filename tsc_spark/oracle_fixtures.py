@@ -300,8 +300,7 @@ def _fx_stm_interference(sf_dir: str):
             notes = [int(toks[2 * k]) + 48, int(toks[2 * k + 1]) + 48]
             amps = [0.5, 0.5]
             onset = k * 0.25
-            d_cur, interf = stm.evaluate(notes, amps, onset)
-            stm.commit(notes, amps, onset)
+            d_cur, interf = stm.commit_with_parts(notes, amps, onset)
             rows.append((doc_id, k, round(d_cur, 6), round(interf, 6)))
     return ["doc_id", "step", "d_current", "interference"], rows
 

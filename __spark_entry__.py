@@ -110,6 +110,53 @@ def _rollup_query(tier: int):
     return q
 
 
+def q_rollup_tier1_streamed(spark, sf_dir):
+    """§2.9 streaming evidence: the SAME tier-1 rollup executed through
+    Structured Streaming end-to-end.  The tokenized corpus is written as
+    several parquet files, drained as a checkpointed file-source stream
+    in multiple micro-batches (maxFilesPerTrigger=2, availableNow), and
+    the materialized sink is returned — compared against the identical
+    *batch* DuckDB oracle, proving batch/stream equivalence.  Reference
+    analogue: the incremental per-point ingest loop
+    (/root/reference/src/polyphonic/polyphonic_cluster_manager.jl:504-517)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tsc_spark.streaming.rollup_stream import stream_rollup, stream_tokens
+
+    root = tempfile.mkdtemp(prefix="tsc_stream_q_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+
+    _tokens(spark, sf_dir).select(
+        "doc_id",
+        F.col("tokens").cast("array<int>").alias("tokens"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+    ).repartition(8).write.parquet(src)
+
+    q = (
+        stream_rollup(stream_tokens(spark, src, max_files=2), 1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.read.parquet(out).select(
+        "doc_id",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        F.col("agg_count").cast("long").alias("agg_count"),
+        F.col("agg_min").cast("long").alias("agg_min"),
+        F.col("agg_max").cast("long").alias("agg_max"),
+        F.col("agg_sum").cast("long").alias("agg_sum"),
+    )
+
+
 def _sql_rollup(stride: int) -> str:
     return f"""WITH {SQL_TOKENS}, {SQL_POINTS}
 SELECT doc_id,
@@ -528,18 +575,33 @@ WHERE {_sql_h32("CAST(doc_id AS VARCHAR)", 17)} < {_STABLE_SAMPLE_THRESHOLD}"""
 
 
 def q_exact_dups(spark, sf_dir):
+    """Exact-dup groups over the corpus PLUS a deterministic duplicated
+    copy of docs 0-9 (doc_id suffixed ``_dup``) — the synthetic corpus
+    has no natural exact duplicates, so without the injected copies this
+    oracle row would hash-match on emptiness and verify nothing."""
     from tsc_spark.operators.dedup import exact_dup_groups
 
-    return exact_dup_groups(
-        _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
+    base = _docs(spark, sf_dir)
+    docs = base.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    dups = base.filter(F.col("doc_id") < 10).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_dup")).alias("doc_id"),
+        "text",
     )
+    return exact_dup_groups(docs.unionByName(dups))
 
 
-SQL_EXACT_DUPS = """
-SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+# whitespace class spelled out on both sides (RE2 \s would also eat \v);
+# the embedded control characters are real chars inside the SQL literal
+SQL_EXACT_DUPS = """WITH docs2 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR) || '_dup' AS doc_id, text
+  FROM documents WHERE doc_id < 10
+)
+SELECT md5(lower(regexp_replace(text, '[ \t\n\f\r]+', ' ', 'g'))) AS content_hash,
        COUNT(*) AS n_docs,
-       MIN(CAST(doc_id AS VARCHAR)) AS keep_doc_id
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1"""
+       MIN(doc_id) AS keep_doc_id
+FROM docs2 GROUP BY 1 HAVING COUNT(*) > 1"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1526,13 +1588,23 @@ JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 
 
 def q_decontaminate(spark, sf_dir):
-    """Eval decontamination: docs sharing an exact 5-gram with a
-    'benchmark' slice (doc_id < 3 stands in for the eval set)."""
+    """Eval decontamination: corpus docs sharing an exact 5-gram with a
+    'benchmark' set.  The benchmark is built from exact 15-word
+    substrings (words 11-25) of docs 0-19 — the eval-set stand-in is a
+    verbatim excerpt of corpus text, so contamination is GUARANTEED
+    (each source doc overlaps its own excerpt) and the oracle row
+    verifies values, never emptiness."""
     from tsc_spark.operators.dedup import contamination_flags
 
-    docs = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
-    bench = docs.filter(F.col("doc_id").isin("0", "1", "2"))
-    corpus = docs.filter(~F.col("doc_id").isin("0", "1", "2"))
+    base = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    bench = base.filter((F.col("doc_id") < 20) & (F.size(w) >= 25)).select(
+        F.concat(F.lit("b"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array_join(F.slice(w, 11, 15), " ").alias("text"),
+    )
+    corpus = base.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
     return contamination_flags(corpus, bench, n=5).select(
         "doc_id",
         F.col("n_overlapping_ngrams").cast("long").alias("n_overlapping_ngrams"),
@@ -1540,15 +1612,17 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
-SQL_DECONTAMINATE = f"""WITH corpus AS (
-  SELECT doc_id, text FROM documents WHERE doc_id NOT IN (0, 1, 2)
+# Spark slice(w, 11, 15) = elements 11..25 (1-based, length 15);
+# DuckDB list_slice(w, 11, 25) = the same inclusive element range
+SQL_DECONTAMINATE = f"""WITH bench AS (
+  SELECT 'b' || CAST(doc_id AS VARCHAR) AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 11, 25), ' ') AS text
+  FROM documents
+  WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 25
 ),
-bench AS (
-  SELECT doc_id, text FROM documents WHERE doc_id IN (0, 1, 2)
-),
-{_sql_shingles(5, "corpus")},
+{_sql_shingles(5)},
 bench_sh AS (
-  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS bench_doc_id,
+  SELECT DISTINCT doc_id AS bench_doc_id,
          {" || ' ' || ".join(f"w[i+{j}]" for j in range(1, 6))} AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) s,
        unnest(generate_series(0, len(w)-5)) AS t(i)
@@ -1618,13 +1692,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness harness checks the first 50
-    # dict entries.  The flagship kernel / ANN / dedup queries come first; the
-    # tail (positions 51+) holds only queries whose SURVEY §2 component is
-    # already evidenced by another first-50 query (e.g. normalized_scores by
-    # normalize_combine, retention_plan by retention_sweep, adjacent_roughness
-    # by chord_roughness, minhash_signatures by lsh_dedup_pairs).
+    # dict entries.  63 queries / 50 slots means 13 are always dark in any
+    # given round, so the window ROTATES each round: every query demoted to
+    # the tail (positions 51+) was driver-green in the immediately previous
+    # round AND sits on code untouched this round — no query's driver
+    # evidence is ever more than one round old.  Round-4 head = the 12
+    # queries dark in round 3 + the new streaming query + everything whose
+    # code changed this round (matching, dedup, kernel); round-4 tail = 13
+    # round-3-green queries over similarity.py / text.py / sketch.py /
+    # dissonance paths, none of which changed this round.
     return {
-        # --- flagship kernel + LLM-pipeline queries (driver rows required) ---
+        # --- flagship kernel + LLM-pipeline queries ---
         "cluster_timeline": q_cluster_timeline,
         "cluster_timeline_poly": q_cluster_timeline_poly,
         "cluster_tree": q_cluster_tree,
@@ -1633,11 +1711,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "note_vol_matches": q_note_vol_matches,
         "generate": q_generate,
         "generate_poly": q_generate_poly,
-        "ann_topk_lsh": q_ann_lsh,
-        "ann_topk_ivf": q_ann_ivf,
         "lsh_dedup_pairs": q_lsh_dedup_pairs,
         "dedup_groups": q_dedup_groups,
         "decontaminate": q_decontaminate,
+        "exact_dups": q_exact_dups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "minhash_signatures": q_minhash_signatures,
+        # --- streaming tier (new this round: batch/stream equivalence) ---
+        "rollup_tier1_streamed": q_rollup_tier1_streamed,
+        # --- rotated in (dark in round 3; driver rows due) ---
+        "rollup_locf": q_rollup_locf,
+        "normalized_scores": q_normalized_scores,
+        "topk_longest": q_topk_longest,
+        "source_counts": q_source_counts,
+        "retention_plan": q_retention_plan,
+        "adjacent_roughness": q_adjacent_roughness,
+        "video_frames": q_video_frames,
+        "pricing_summary": q_pricing_summary,
+        "suppliers_by_region": q_suppliers_by_region,
+        "events_hourly": q_events_hourly,
+        "corr_qty_price": q_corr,
         # --- unique-evidence operator queries ---
         "series_stats": q_series_stats,
         "rollup_tier1": _rollup_query(1),
@@ -1646,18 +1740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_phrases": q_split_phrases,
         "contextual_width": q_contextual_width,
         "filter_isin": q_filter_isin,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "repetition_stats": q_repetition_stats,
-        "pii_stats": q_pii_stats,
-        "kmv_distinct": q_kmv_distinct,
-        "stable_sample": q_stable_sample,
-        "exact_dups": q_exact_dups,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "cosine_topk": q_cosine_topk,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -1670,25 +1752,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_matches": q_window_matches,
         "octave_matches": q_octave_matches,
         "codec_roundtrip": q_codec_roundtrip,
-        "chord_roughness": q_chord_roughness,
         "normalize_combine": q_normalize_combine,
         "stm_interference": q_stm_interference,
-        "near_dup_embeddings": q_near_dup_embeddings,
         "media_stats": q_media_stats,
         "image_features": q_image_features,
-        # --- positions 51+: redundant-evidence twins (component covered above) ---
-        "rollup_locf": q_rollup_locf,
-        "normalized_scores": q_normalized_scores,
-        "topk_longest": q_topk_longest,
-        "source_counts": q_source_counts,
-        "minhash_signatures": q_minhash_signatures,
-        "retention_plan": q_retention_plan,
-        "adjacent_roughness": q_adjacent_roughness,
-        "video_frames": q_video_frames,
-        "pricing_summary": q_pricing_summary,
-        "suppliers_by_region": q_suppliers_by_region,
-        "events_hourly": q_events_hourly,
-        "corr_qty_price": q_corr,
+        # --- positions 51+: round-3 driver-green, code untouched this round ---
+        "ann_topk_lsh": q_ann_lsh,
+        "ann_topk_ivf": q_ann_ivf,
+        "near_dup_embeddings": q_near_dup_embeddings,
+        "cosine_topk": q_cosine_topk,
+        "chord_roughness": q_chord_roughness,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "pii_stats": q_pii_stats,
+        "kmv_distinct": q_kmv_distinct,
+        "stable_sample": q_stable_sample,
     }
 
 
@@ -1720,6 +1801,9 @@ def _static_oracle_sql() -> dict[str, str]:
     return {
         "series_stats": SQL_SERIES_STATS,
         "rollup_tier1": _sql_rollup(8),
+        # the streamed variant must equal the BATCH rollup exactly —
+        # same oracle text proves batch/stream equivalence end-to-end
+        "rollup_tier1_streamed": _sql_rollup(8),
         "rollup_tier2": _sql_rollup(64),
         "rollup_gapfill": SQL_ROLLUP_GAPFILL,
         "rollup_locf": SQL_ROLLUP_LOCF,

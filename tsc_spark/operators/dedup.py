@@ -208,7 +208,7 @@ def contamination_flags(
 def dedup_components(
     pairs: DataFrame,
     max_iters: int = 20,
-    probe_every: int = 2,
+    probe_every: int = 1,
     stats: dict | None = None,
 ) -> DataFrame:
     """Resolve near-dup pairs into dedup groups: (doc_id, component,
@@ -216,88 +216,85 @@ def dedup_components(
     through the pair graph and the canonical doc is the one kept.
 
     The group-resolution step every dedup pipeline needs after candidate
-    pairing.  Each round is (a) a neighbor-min step — one equi-join +
-    groupBy taking the smallest label among neighbors — followed by (b)
-    a pointer-jump step — ``comp ← comp(comp)``, one more equi-join —
-    the doubling move of large-star/small-star-style CC algorithms
-    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    pairing.  Each round folds the neighbor-min and pointer-jump moves of
+    large-star/small-star-style CC (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") into ONE materialized job:
+
+      nmin(v)  = min label over N(v) ∪ {v}   — self-loops added to the
+                 edge set once, so no separate left-join with the old
+                 labels is needed; the groupBy also carries v's old label
+                 (the min over the self-loop row alone) for the probe
+      comp'(v) = prev(nmin(v))               — pointer jump through the
+                 *previous* mapping; prev(x) ≤ x and prev(x) lies in x's
+                 component, so the update is monotone non-increasing and
+                 its only fixpoint is the exact component minimum (at a
+                 fixpoint m(v) = m(nmin) ≤ nmin ≤ m(u) for every
+                 neighbor u ⇒ m constant per component, and m(d) ≤ d
+                 pins the constant to the minimum d)
+
     Neighbor-min alone needs O(diameter) rounds (a 1000-doc chain takes
-    ~1000); the pointer jump halves every label's distance-to-root each
-    round, so convergence is O(log diameter) — ``max_iters=20`` covers
-    diameters past 2^20.  ``localCheckpoint`` breaks lineage so the plan
-    stays constant-size across iterations; the convergence probe (an
-    any-changed count) runs every ``probe_every`` rounds since each probe
-    is itself a job.  Deterministic: labels are lexicographic doc_id
-    minima.  Warns on stderr if the loop exits without converging
-    (labels may then disagree with exact transitive closure); pass a
-    ``stats`` dict to receive {"rounds": int, "converged": bool}."""
+    ~1000); the jump halves every label's distance-to-root per round, so
+    convergence is O(log diameter) — ``max_iters=20`` covers diameters
+    past 2^20.  ``localCheckpoint`` (one per round) breaks lineage so the
+    plan stays constant-size; the convergence probe reads the in-round
+    ``changed`` flag off the checkpointed partitions — a scan-only job
+    with no join, so it runs every round and stops at the earliest
+    possible round (``probe_every`` kept for API compatibility; values
+    > 1 skip the scan on non-probe rounds).  Deterministic: labels are
+    lexicographic doc_id minima.  Warns on stderr if the loop exits
+    without converging (labels may then disagree with exact transitive
+    closure); pass a ``stats`` dict to receive
+    {"rounds": int, "converged": bool}."""
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint()
     )
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    edges2 = edges.union(
+        nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    ).cache()
+    labels = nodes.withColumn("comp", F.col("doc_id")).localCheckpoint()
     converged = False
     rounds = 0
     for it in range(int(max_iters)):
         rounds = it + 1
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
+        nm = (
+            edges2.join(labels, edges2["dst"] == labels["doc_id"])
             .groupBy("src")
-            .agg(F.min("comp").alias("nmin"))
-        )
-        # materialize before the pointer jump: both sides of that join
-        # consume `stepped`, and without a lineage break the expensive
-        # neighbor-min join+groupBy would execute once per branch
-        stepped = (
-            labels.join(
-                neighbor_min, labels["doc_id"] == neighbor_min["src"], "left"
+            .agg(
+                F.min("comp").alias("nmin"),
+                # v's own previous label, read off the self-loop row
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("comp"))
+                ).alias("old"),
             )
-            .select(
-                labels["doc_id"],
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint()
         )
-        # pointer jump: comp ← comp(comp).  Every comp value is itself a
-        # doc_id present in `labels` (labels start as self and only ever
-        # take minima over existing labels), so the inner join keeps
-        # every row.
-        ptr = stepped.select(
+        # jump through the previous mapping — `labels` is checkpointed,
+        # so this second consumption re-reads materialized partitions,
+        # never re-executes a join
+        jmap = labels.select(
             F.col("doc_id").alias("p_id"), F.col("comp").alias("p_comp")
         )
-        # localCheckpoint every round: it costs one eager job but keeps
-        # the plan constant-size — deferring it makes every later action
-        # (probe, next round) re-execute the unmaterialized joins, which
-        # measured slower than the saved job
         new_labels = (
-            stepped.join(ptr, stepped["comp"] == ptr["p_id"])
-            .select(stepped["doc_id"], F.col("p_comp").alias("comp"))
+            nm.join(jmap, nm["nmin"] == jmap["p_id"])
+            .select(
+                F.col("src").alias("doc_id"),
+                F.col("p_comp").alias("comp"),
+                (F.col("p_comp") != F.col("old")).alias("changed"),
+            )
             .localCheckpoint()
         )
         probe = (it + 1) % max(int(probe_every), 1) == 0 or it == max_iters - 1
         if probe:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
+            changed = new_labels.filter("changed").limit(1).count()
             if changed == 0:
-                labels = new_labels
+                labels = new_labels.select("doc_id", "comp")
                 converged = True
                 break
-        labels = new_labels
-    edges.unpersist()
+        labels = new_labels.select("doc_id", "comp")
+    edges2.unpersist()
     if not converged:
         import sys
 

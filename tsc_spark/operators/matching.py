@@ -39,6 +39,10 @@ __all__ = [
 
 MATCH_SCHEMA = "doc_id string, q_start int, db_start int, window_size int"
 
+# marks a NULL token inside a stringified window key; tokens are ints so
+# their string rendering is digits/'-' only and can never contain this
+_NULL_SENTINEL = "␀"
+
 
 def query_matches(
     spark: SparkSession,
@@ -140,26 +144,32 @@ def exact_window_matches(
     if not window_sizes:
         raise ValueError("window_sizes must be non-empty")
     outs = []
+    # null-sensitive keys at O(n) extra cost: tokens are stringified ONCE
+    # per doc with NULL mapped to a sentinel no int rendering can contain
+    # (tokens cast to string are digits/'-' only).  A window containing a
+    # NULL then keys to a sentinel-bearing string, dropped after the
+    # explode — matching the DuckDB oracle, whose || concatenation yields
+    # NULL keys that never join.  concat_ws alone would silently SKIP the
+    # null element, colliding e.g. [1,NULL,2] with [1,2,NULL]; the r3 fix
+    # re-probed every window with exists(slice(...)) — a second O(ws)
+    # slice per window — where this sentinel pass is one O(n) transform.
+    toks_s = F.transform(
+        F.col("tokens"),
+        lambda x: F.coalesce(x.cast("string"), F.lit(_NULL_SENTINEL)),
+    )
+    base = tokens_df.select("doc_id", toks_s.alias("toks_s"))
     for ws in window_sizes:
-        words = F.col("tokens")
-        # null-sensitive key: a window containing a NULL token keys to
-        # NULL (dropped below) — concat_ws alone would silently SKIP the
-        # null element, colliding e.g. [1,NULL,2] with [1,2,NULL]; the
-        # DuckDB oracle's || concatenation yields NULL keys that never
-        # join, so this matches it exactly
+        words = F.col("toks_s")
         win = F.when(
             F.size(words) >= ws,
             F.transform(
                 F.sequence(F.lit(0), F.size(words) - ws),
-                lambda i: F.when(
-                    F.exists(F.slice(words, i + 1, ws), lambda x: x.isNull()),
-                    F.lit(None).cast("string"),
-                ).otherwise(F.concat_ws("_", F.slice(words, i + 1, ws))),
+                lambda i: F.concat_ws("_", F.slice(words, i + 1, ws)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        sh = tokens_df.select(
+        sh = base.select(
             "doc_id", F.posexplode(win).alias("pos", "win")
-        ).filter(F.col("win").isNotNull())
+        ).filter(~F.col("win").contains(_NULL_SENTINEL))
         outs.append(_expand_position_pairs(sh, ws, max_positions_per_key))
     out = outs[0]
     for o in outs[1:]:
@@ -261,29 +271,26 @@ def octave_invariant_matches(
     inverted-index shape as ``exact_window_matches`` (one shuffle,
     in-array pair expansion, optional skew cap) with the mod-12 key —
     never the reference's positional triple loop, and never a self-join."""
-    words = F.col("tokens")
+    # normalize + stringify ONCE per doc (null → sentinel, cf.
+    # exact_window_matches) instead of re-modding each window's slice
+    toks_m = F.transform(
+        F.col("tokens"),
+        lambda x: F.coalesce(
+            F.pmod(x, F.lit(12)).cast("int").cast("string"),
+            F.lit(_NULL_SENTINEL),
+        ),
+    )
+    base = tokens_df.select("doc_id", toks_m.alias("toks_m"))
+    words = F.col("toks_m")
     win = F.when(
         F.size(words) >= window_size,
         F.transform(
             F.sequence(F.lit(0), F.size(words) - window_size),
-            lambda i: F.when(
-                F.exists(
-                    F.slice(words, i + 1, window_size), lambda x: x.isNull()
-                ),
-                F.lit(None).cast("string"),
-            ).otherwise(
-                F.concat_ws(
-                    "_",
-                    F.transform(
-                        F.slice(words, i + 1, window_size),
-                        lambda x: F.pmod(x, F.lit(12)).cast("int"),
-                    ),
-                )
-            ),
+            lambda i: F.concat_ws("_", F.slice(words, i + 1, window_size)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = tokens_df.select("doc_id", F.posexplode(win).alias("pos", "win")).filter(
-        F.col("win").isNotNull()
+    sh = base.select("doc_id", F.posexplode(win).alias("pos", "win")).filter(
+        ~F.col("win").contains(_NULL_SENTINEL)
     )
     return _expand_position_pairs(sh, window_size, max_positions_per_key)
 

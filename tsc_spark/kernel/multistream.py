@@ -16,6 +16,16 @@ Exact semantics of the reference multi-stream manager's scoring layer
 The pool itself (fork/retire of full cluster managers) is generation-
 side driver state; these primitives are the numeric core every mapping
 step runs on.
+
+Role note: ``StreamStrengths`` and ``map_streams_to_candidates`` are
+the STANDALONE, unit-tested parity surface for the reference scoring
+semantics.  The production pool (kernel.streampool) embeds the same
+presence/strength math inside its channel objects because the reference
+interleaves it with channel lifecycle state (last-value fallback on
+zero-count, fork/revive carry-over) — delegating would couple bit-exact
+production state to this documentation layer for no behavioral gain.
+The two are kept in agreement by tests/test_multistream.py and the
+generate_poly fixtures.
 """
 
 from __future__ import annotations
@@ -58,9 +68,14 @@ def set_distance01(a, b, width: float, max_count: int) -> float:
     return min(max((pitch_norm + count_norm) / 2.0, 0.0), 1.0)
 
 
-def generate_centered_targets(center: float, spread: float, n: int) -> list[float]:
+def generate_centered_targets(center: float, spread: float, *, n: int) -> list[float]:
     """n targets evenly spaced on [center−spread/2, center+spread/2],
-    clamped to [0, 1] (reference ...:637-658)."""
+    clamped to [0, 1] (reference ...:637-658).
+
+    ``n`` is keyword-only: kernel.polygen exposes the reference
+    controller's PERMUTED twin (n, center, spread) of this signature,
+    and both orders typecheck on bare floats — keyword enforcement turns
+    the silent-swap trap into an immediate TypeError."""
     if n <= 0:
         return []
     clamp01 = lambda x: min(max(float(x), 0.0), 1.0)

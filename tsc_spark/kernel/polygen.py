@@ -137,11 +137,12 @@ def generate_centered_targets(n: int, center: float, spread: float) -> list[floa
 
     Delegates to the multistream helper — same math, but NOTE the
     permuted signatures: this one is (n, center, spread), multistream's
-    is (center, spread, n); both are bare floats, so importing the wrong
-    one would silently clamp the count into [0, 1]."""
+    is (center, spread, n=...); the count there is keyword-only so an
+    accidental import swap raises instead of silently clamping the
+    count into [0, 1]."""
     from .multistream import generate_centered_targets as _gct
 
-    return _gct(center, spread, max(int(n), 1))
+    return _gct(center, spread, n=max(int(n), 1))
 
 
 def ordered_cartesian_product(values: list[float], n: int) -> list[list[float]]:

@@ -358,7 +358,7 @@ class StreamPool:
 
         if dc < cur_n:
             k = cur_n - dc
-            delete_targets = generate_centered_targets(t, s, k)
+            delete_targets = generate_centered_targets(t, s, n=k)
             aws = [(i, self.presence_of_id(i)) for i in current_active]
             deactivate = []
             for tv in delete_targets:
@@ -380,7 +380,7 @@ class StreamPool:
             revive, forks = [], []
             aws = [(i, self.presence_of_id(i)) for i in current_active]
             iws = [(i, self.presence_of_id(i)) for i in self.inactive_ids]
-            for tv in generate_centered_targets(t, s, k):
+            for tv in generate_centered_targets(t, s, n=k):
                 best_type, best_id, best_dist = None, 0, math.inf
                 for sid, strength in aws:
                     d = abs(strength - tv)

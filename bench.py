@@ -259,9 +259,11 @@ def main() -> None:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--docs", type=int, default=None)
     ap.add_argument("--query-repeats", type=int,
-                    default=int(os.environ.get("TSC_BENCH_REPEATS", "2")),
+                    default=int(os.environ.get("TSC_BENCH_REPEATS", "3")),
                     help="per-query (and pipeline) timing repeats; best "
-                         "(min sec) kept — host-contention discipline")
+                         "(min sec) kept — host-contention discipline "
+                         "(2 repeats measured median 13% cross-run dev "
+                         "on sub-second queries; 3 tightens the tail)")
     args = ap.parse_args()
     if args.docs is None:
         args.docs = int(

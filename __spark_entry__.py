@@ -933,6 +933,59 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2"""
 
 
+_STREAM_QUERY_SEQ = [0]
+
+
+def q_events_hourly_streamed(spark, sf_dir):
+    """§2.9 stateful-streaming evidence: the watermarked tumbling-window
+    event aggregation (streaming/rollup_stream.windowed_event_counts)
+    executed through Structured Streaming end-to-end and compared to the
+    identical BATCH oracle (SQL_EVENTS_HOURLY).  The events table is
+    re-written as several parquet files and drained as a file-source
+    stream in multiple micro-batches (maxFilesPerTrigger=2,
+    availableNow) into a complete-mode memory sink — complete mode emits
+    every window, so the final table must equal the batch aggregation
+    bit-for-bit at 6-decimal rounding regardless of micro-batch merge
+    order."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tsc_spark.streaming.rollup_stream import windowed_event_counts
+
+    _ensure_utc(spark)
+    root = tempfile.mkdtemp(prefix="tsc_evstream_q_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src = f"{root}/src"
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(8).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    _STREAM_QUERY_SEQ[0] += 1
+    name = f"tsc_events_hourly_streamed_{_STREAM_QUERY_SEQ[0]}"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 def q_corr(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.agg(
@@ -1692,15 +1745,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING MATTERS: the driver's correctness harness checks the first 50
-    # dict entries.  63 queries / 50 slots means 13 are always dark in any
+    # dict entries.  64 queries / 50 slots means 14 are always dark in any
     # given round, so the window ROTATES each round: every query demoted to
     # the tail (positions 51+) was driver-green in the immediately previous
     # round AND sits on code untouched this round — no query's driver
     # evidence is ever more than one round old.  Round-4 head = the 12
-    # queries dark in round 3 + the new streaming query + everything whose
-    # code changed this round (matching, dedup, kernel); round-4 tail = 13
-    # round-3-green queries over similarity.py / text.py / sketch.py /
-    # dissonance paths, none of which changed this round.
+    # queries dark in round 3 + the two new streaming queries + everything
+    # whose code changed this round (matching, dedup, kernel); round-4 tail
+    # = 14 round-3-green queries over similarity.py / text.py / sketch.py /
+    # dissonance / native-SQL paths, none of which changed this round.
     return {
         # --- flagship kernel + LLM-pipeline queries ---
         "cluster_timeline": q_cluster_timeline,
@@ -1720,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         # --- streaming tier (new this round: batch/stream equivalence) ---
         "rollup_tier1_streamed": q_rollup_tier1_streamed,
+        "events_hourly_streamed": q_events_hourly_streamed,
         # --- rotated in (dark in round 3; driver rows due) ---
         "rollup_locf": q_rollup_locf,
         "normalized_scores": q_normalized_scores,
@@ -1745,7 +1799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "collapse_max": q_collapse_max,
         "top_customers": q_top_customers,
-        "stable_id": q_stable_id,
         "octave_normalize": q_octave_normalize,
         "recency_weights": q_recency_weights,
         "retention_sweep": q_retention_sweep,
@@ -1770,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": q_pii_stats,
         "kmv_distinct": q_kmv_distinct,
         "stable_sample": q_stable_sample,
+        "stable_id": q_stable_id,
     }
 
 
@@ -1834,6 +1888,9 @@ def _static_oracle_sql() -> dict[str, str]:
         "top_customers": SQL_TOP_CUSTOMERS,
         "suppliers_by_region": SQL_SUPPLIERS_BY_REGION,
         "events_hourly": SQL_EVENTS_HOURLY,
+        # the watermarked streaming aggregation must equal the BATCH
+        # window aggregation — same oracle text proves it end-to-end
+        "events_hourly_streamed": SQL_EVENTS_HOURLY,
         "corr_qty_price": SQL_CORR,
         "stable_id": SQL_STABLE_ID,
         "octave_normalize": SQL_OCTAVE,

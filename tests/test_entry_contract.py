@@ -25,7 +25,7 @@ ROUND_DUE = [
     "video_frames", "pricing_summary", "suppliers_by_region",
     "events_hourly", "corr_qty_price",
     # new this round
-    "rollup_tier1_streamed",
+    "rollup_tier1_streamed", "events_hourly_streamed",
     # changed-code queries (operators/matching.py, operators/dedup.py,
     # kernel/manager.py, kernel/matching.py)
     "window_matches", "octave_matches", "exact_dups", "decontaminate",
@@ -41,7 +41,7 @@ ROTATABLE_TAIL = [
     "ann_topk_lsh", "ann_topk_ivf", "near_dup_embeddings", "cosine_topk",
     "chord_roughness", "token_stats", "quality_scores", "lang_id",
     "fingerprint", "repetition_stats", "pii_stats", "kmv_distinct",
-    "stable_sample",
+    "stable_sample", "stable_id",
 ]
 
 

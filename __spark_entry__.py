@@ -1794,10 +1794,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_phrases": q_split_phrases,
         "contextual_width": q_contextual_width,
         "filter_isin": q_filter_isin,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "collapse_max": q_collapse_max,
+        # text.py changed this round (repetition_stats zero-shuffle
+        # rewrite) — every text query moves into the checked head
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "pii_stats": q_pii_stats,
         "top_customers": q_top_customers,
         "octave_normalize": q_octave_normalize,
         "recency_weights": q_recency_weights,
@@ -1807,20 +1811,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": q_codec_roundtrip,
         "normalize_combine": q_normalize_combine,
         "stm_interference": q_stm_interference,
-        "media_stats": q_media_stats,
-        "image_features": q_image_features,
         # --- positions 51+: round-3 driver-green, code untouched this round ---
         "ann_topk_lsh": q_ann_lsh,
         "ann_topk_ivf": q_ann_ivf,
         "near_dup_embeddings": q_near_dup_embeddings,
         "cosine_topk": q_cosine_topk,
         "chord_roughness": q_chord_roughness,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "repetition_stats": q_repetition_stats,
-        "pii_stats": q_pii_stats,
+        "media_stats": q_media_stats,
+        "image_features": q_image_features,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "sessionize": q_sessionize,
+        "collapse_max": q_collapse_max,
         "kmv_distinct": q_kmv_distinct,
         "stable_sample": q_stable_sample,
         "stable_id": q_stable_id,

@@ -27,20 +27,23 @@ ROUND_DUE = [
     # new this round
     "rollup_tier1_streamed", "events_hourly_streamed",
     # changed-code queries (operators/matching.py, operators/dedup.py,
-    # kernel/manager.py, kernel/matching.py)
+    # operators/text.py, kernel/manager.py, kernel/matching.py)
     "window_matches", "octave_matches", "exact_dups", "decontaminate",
     "ngram_jaccard", "simhash", "lsh_dedup_pairs", "dedup_groups",
     "query_matches", "match_scores", "cluster_timeline",
     "cluster_timeline_poly", "cluster_tree", "generate", "generate_poly",
     "note_vol_matches", "stm_interference",
+    "token_stats", "quality_scores", "lang_id", "fingerprint",
+    "repetition_stats", "pii_stats",
 ]
 
 # the only queries allowed in the dark tail: driver-green in round 3 AND
-# on files untouched this round (similarity / text / sketch / dissonance)
+# on files untouched this round (similarity / multimodal / asof /
+# sessionize / sketch / dissonance / native-SQL)
 ROTATABLE_TAIL = [
     "ann_topk_lsh", "ann_topk_ivf", "near_dup_embeddings", "cosine_topk",
-    "chord_roughness", "token_stats", "quality_scores", "lang_id",
-    "fingerprint", "repetition_stats", "pii_stats", "kmv_distinct",
+    "chord_roughness", "media_stats", "image_features", "asof_join",
+    "range_join", "sessionize", "collapse_max", "kmv_distinct",
     "stable_sample", "stable_id",
 ]
 

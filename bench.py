@@ -79,6 +79,7 @@ BENCH_QUERY_NAMES = [
     "codec_roundtrip",
     "cluster_timeline",
     "rollup_tier1_streamed",
+    "events_hourly_streamed",
     "query_matches",
     "lsh_dedup_pairs",
     "ann_topk_ivf",

@@ -92,6 +92,40 @@ class TestQualityFilters:
         assert out["l"].n_lines == 3
         assert out["s"].top_bigram_frac == 0.0
 
+    def test_repetition_stats_matches_bruteforce_on_random_docs(self, spark):
+        """The zero-shuffle sorted-run fold must equal a plain Python
+        Counter histogram (the relational formulation it replaced) on
+        randomized docs, including repetition-heavy ones."""
+        import random
+
+        from tsc_spark.operators.text import repetition_stats
+
+        rng = random.Random(41)
+        vocab = ["a", "b", "c", "dd", "e"]
+        rows = []
+        for i in range(60):
+            n = rng.randint(0, 30)
+            words = [rng.choice(vocab) for _ in range(n)]
+            if rng.random() < 0.3 and n >= 4:  # inject heavy repetition
+                words = words[:2] * (n // 2)
+            rows.append((str(i), " ".join(words)))
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {r.doc_id: r.top_bigram_frac for r in repetition_stats(docs).collect()}
+
+        from collections import Counter
+
+        for doc_id, text in rows:
+            words = text.split(" ")
+            bigrams = [
+                " ".join(words[i : i + 2]) for i in range(len(words) - 1)
+            ] if len(words) >= 2 else []
+            want = (
+                round(max(Counter(bigrams).values()) / len(bigrams), 6)
+                if bigrams
+                else 0.0
+            )
+            assert got[doc_id] == want, doc_id
+
     def test_pii_stats_counts_urls_and_emails(self, spark):
         from tsc_spark.operators.text import pii_stats
 

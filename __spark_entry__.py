@@ -958,8 +958,10 @@ def q_events_hourly_streamed(spark, sf_dir):
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     src = f"{root}/src"
 
+    # 4 files / 2-file triggers = two genuine micro-batches — enough to
+    # prove cross-batch state merging without paying 4+ trigger rounds
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev.repartition(8).write.parquet(src)
+    ev.repartition(4).write.parquet(src)
 
     stream = (
         spark.readStream.schema(ev.schema)

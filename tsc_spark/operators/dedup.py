@@ -266,12 +266,12 @@ def dedup_components(
     edges2 = edges.union(
         labels.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
     ).cache()
+    import time as _time
+
     converged = False
     rounds = 0
     round_secs: list[float] = []
     for it in range(int(max_iters)):
-        import time as _time
-
         _t0 = _time.perf_counter()
         rounds = it + 1
         nm = (

@@ -263,7 +263,7 @@ def main() -> None:
                     default=int(os.environ.get("TSC_BENCH_REPEATS", "3")),
                     help="per-query (and pipeline) timing repeats; best "
                          "(min sec) kept — host-contention discipline "
-                         "(2 repeats measured median 13% cross-run dev "
+                         "(2 repeats measured median 13%% cross-run dev "
                          "on sub-second queries; 3 tightens the tail)")
     args = ap.parse_args()
     if args.docs is None:
@@ -287,7 +287,10 @@ def main() -> None:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--pipeline-only", "--kernel", args.kernel,
-                     "--cpus", cpus, "--docs", str(args.docs)],
+                     "--cpus", cpus, "--docs", str(args.docs),
+                     # the outer loop is already best-of---scale-repeats;
+                     # inner repeats would silently multiply its cost
+                     "--query-repeats", "1"],
                     capture_output=True, text=True,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )

@@ -157,6 +157,46 @@ def q_rollup_tier1_streamed(spark, sf_dir):
     )
 
 
+def q_retention_streamed(spark, sf_dir):
+    """§2.9 retention-per-micro-batch evidence: the foreachBatch ingest →
+    tier-1 rollup → TTL sweep loop (streaming/rollup_stream.
+    run_rollup_stream_with_retention) driven end-to-end, compared to the
+    BATCH sweep oracle (SQL_RETENTION_SWEEP).  Every doc's token row —
+    and hence all its rollup windows — lands in exactly one micro-batch,
+    and the keep-last-N sweep is per-doc, so re-sweeping on later
+    batches never changes already-swept docs: the final sink must equal
+    the batch-global sweep exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tsc_spark.streaming.rollup_stream import run_rollup_stream_with_retention
+
+    root = tempfile.mkdtemp(prefix="tsc_retstream_q_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+
+    _tokens(spark, sf_dir).select(
+        "doc_id",
+        F.col("tokens").cast("array<int>").alias("tokens"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        "source",
+    ).repartition(4).write.parquet(src)
+
+    run_rollup_stream_with_retention(
+        spark, src, out, ckpt, tier=1, policy={1: 4}
+    )
+
+    return spark.read.parquet(out).select(
+        "doc_id",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        F.col("agg_count").cast("long").alias("agg_count"),
+        F.col("agg_min").cast("long").alias("agg_min"),
+        F.col("agg_max").cast("long").alias("agg_max"),
+        F.col("agg_sum").cast("long").alias("agg_sum"),
+    )
+
+
 def _sql_rollup(stride: int) -> str:
     return f"""WITH {SQL_TOKENS}, {SQL_POINTS}
 SELECT doc_id,
@@ -1776,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming tier (new this round: batch/stream equivalence) ---
         "rollup_tier1_streamed": q_rollup_tier1_streamed,
         "events_hourly_streamed": q_events_hourly_streamed,
+        "retention_streamed": q_retention_streamed,
         # --- rotated in (dark in round 3; driver rows due) ---
         "rollup_locf": q_rollup_locf,
         "normalized_scores": q_normalized_scores,
@@ -1804,7 +1845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "pii_stats": q_pii_stats,
-        "top_customers": q_top_customers,
         "octave_normalize": q_octave_normalize,
         "recency_weights": q_recency_weights,
         "retention_sweep": q_retention_sweep,
@@ -1828,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "stable_sample": q_stable_sample,
         "stable_id": q_stable_id,
+        "top_customers": q_top_customers,
     }
 
 
@@ -1900,6 +1941,8 @@ def _static_oracle_sql() -> dict[str, str]:
         "octave_normalize": SQL_OCTAVE,
         "recency_weights": SQL_RECENCY,
         "retention_sweep": SQL_RETENTION_SWEEP,
+        # per-micro-batch sweep must converge to the batch-global sweep
+        "retention_streamed": SQL_RETENTION_SWEEP,
         "retention_plan": SQL_RETENTION_PLAN,
         "window_matches": SQL_WINDOW_MATCHES,
         "octave_matches": SQL_OCTAVE_MATCHES,

@@ -25,7 +25,7 @@ ROUND_DUE = [
     "video_frames", "pricing_summary", "suppliers_by_region",
     "events_hourly", "corr_qty_price",
     # new this round
-    "rollup_tier1_streamed", "events_hourly_streamed",
+    "rollup_tier1_streamed", "events_hourly_streamed", "retention_streamed",
     # changed-code queries (operators/matching.py, operators/dedup.py,
     # operators/text.py, kernel/manager.py, kernel/matching.py)
     "window_matches", "octave_matches", "exact_dups", "decontaminate",
@@ -44,7 +44,7 @@ ROTATABLE_TAIL = [
     "ann_topk_lsh", "ann_topk_ivf", "near_dup_embeddings", "cosine_topk",
     "chord_roughness", "media_stats", "image_features", "asof_join",
     "range_join", "sessionize", "collapse_max", "kmv_distinct",
-    "stable_sample", "stable_id",
+    "stable_sample", "stable_id", "top_customers",
 ]
 
 

@@ -1371,19 +1371,23 @@ st AS (
   FROM agg WINDOW w AS (PARTITION BY doc_id)
 ),
 scored AS (
+  -- every literal is ::DOUBLE: DuckDB parses bare 0.2 as DECIMAL and
+  -- would fold the reliability sum to the EXACT decimal 2.4, while
+  -- Spark float-accumulates to 2.4000000000000004 — a 1-ulp divergence
+  -- that flipped a round(x, 6) boundary at sf0.1 (doc 4396 window 7)
   SELECT doc_id, window_idx,
-    (CASE WHEN d_max > d_min THEN (agg_sum - d_min) / (d_max - d_min) ELSE 0.5 END)
-      * (CASE WHEN d_n <= 1 THEN 0.0 WHEN d_n = 2 THEN 0.2 ELSE 1.0 END) AS d_s,
-    (1.0 - CASE WHEN q_max > q_min THEN (agg_count - q_min) / (q_max - q_min) ELSE 0.5 END)
-      * (CASE WHEN q_n <= 1 THEN 0.0 WHEN q_n = 2 THEN 0.2 ELSE 1.0 END) AS q_s,
-    (CASE WHEN c_max > c_min THEN (agg_max - c_min) / (c_max - c_min) ELSE 0.5 END)
-      * (CASE WHEN c_n <= 1 THEN 0.0 WHEN c_n = 2 THEN 0.2 ELSE 1.0 END) AS c_s,
-    (1.0 - CASE WHEN u_max > u_min THEN (agg_min - u_min) / (u_max - u_min) ELSE 0.5 END)
-      * (CASE WHEN u_n <= 1 THEN 0.0 WHEN u_n = 2 THEN 0.2 ELSE 1.0 END) AS u_s,
-    (CASE WHEN d_n <= 1 THEN 0.0 WHEN d_n = 2 THEN 0.2 ELSE 1.0 END)
-      + (CASE WHEN q_n <= 1 THEN 0.0 WHEN q_n = 2 THEN 0.2 ELSE 1.0 END)
-      + (CASE WHEN c_n <= 1 THEN 0.0 WHEN c_n = 2 THEN 0.2 ELSE 1.0 END)
-      + (CASE WHEN u_n <= 1 THEN 0.0 WHEN u_n = 2 THEN 0.2 ELSE 1.0 END) AS denom
+    (CASE WHEN d_max > d_min THEN (agg_sum - d_min) / (d_max - d_min) ELSE 0.5::DOUBLE END)
+      * (CASE WHEN d_n <= 1 THEN 0.0::DOUBLE WHEN d_n = 2 THEN 0.2::DOUBLE ELSE 1.0::DOUBLE END) AS d_s,
+    (1.0::DOUBLE - CASE WHEN q_max > q_min THEN (agg_count - q_min) / (q_max - q_min) ELSE 0.5::DOUBLE END)
+      * (CASE WHEN q_n <= 1 THEN 0.0::DOUBLE WHEN q_n = 2 THEN 0.2::DOUBLE ELSE 1.0::DOUBLE END) AS q_s,
+    (CASE WHEN c_max > c_min THEN (agg_max - c_min) / (c_max - c_min) ELSE 0.5::DOUBLE END)
+      * (CASE WHEN c_n <= 1 THEN 0.0::DOUBLE WHEN c_n = 2 THEN 0.2::DOUBLE ELSE 1.0::DOUBLE END) AS c_s,
+    (1.0::DOUBLE - CASE WHEN u_max > u_min THEN (agg_min - u_min) / (u_max - u_min) ELSE 0.5::DOUBLE END)
+      * (CASE WHEN u_n <= 1 THEN 0.0::DOUBLE WHEN u_n = 2 THEN 0.2::DOUBLE ELSE 1.0::DOUBLE END) AS u_s,
+    (CASE WHEN d_n <= 1 THEN 0.0::DOUBLE WHEN d_n = 2 THEN 0.2::DOUBLE ELSE 1.0::DOUBLE END)
+      + (CASE WHEN q_n <= 1 THEN 0.0::DOUBLE WHEN q_n = 2 THEN 0.2::DOUBLE ELSE 1.0::DOUBLE END)
+      + (CASE WHEN c_n <= 1 THEN 0.0::DOUBLE WHEN c_n = 2 THEN 0.2::DOUBLE ELSE 1.0::DOUBLE END)
+      + (CASE WHEN u_n <= 1 THEN 0.0::DOUBLE WHEN u_n = 2 THEN 0.2::DOUBLE ELSE 1.0::DOUBLE END) AS denom
   FROM st
 )
 SELECT doc_id, window_idx,

@@ -52,7 +52,12 @@ def main():
     # itself runs at the default, sf0.01)
     os.environ["TSC_ORACLE_SF_DIR"] = sf_dir
 
-    spark = get_spark("check_entry", master="local[8]", shuffle_partitions=8)
+    # override to prove parallelism invariance: the same oracles must
+    # match at ANY core/partition count (e.g. TSC_CHECK_CPUS=32)
+    cpus = os.environ.get("TSC_CHECK_CPUS", "8")
+    spark = get_spark(
+        "check_entry", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"

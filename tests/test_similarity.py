@@ -151,7 +151,7 @@ def test_dedup_components_long_chain_converges(spark):
     )
     from tsc_spark.operators.dedup import dedup_components
 
-    rows = dedup_components(pairs, max_iters=40).collect()
+    rows = dedup_components(pairs, max_iters=40, local_threshold=None).collect()
     assert {r.component for r in rows} == {"d00"}
     assert sum(r.is_canonical for r in rows) == 1
 
@@ -188,8 +188,11 @@ def test_dedup_components_adversarial_chain_log_rounds(spark):
     from tsc_spark.operators.dedup import dedup_components
 
     stats = {}
-    rows = dedup_components(pairs, max_iters=20, stats=stats).collect()
+    rows = dedup_components(
+        pairs, max_iters=20, stats=stats, local_threshold=None
+    ).collect()
     assert stats["converged"]
+    assert stats["mode"] == "distributed"
     assert stats["rounds"] <= 15
     assert {r.component for r in rows} == {"d0000"}
     assert sum(r.is_canonical for r in rows) == 1
@@ -263,7 +266,9 @@ def test_near_dup_multi_table_finds_planted_pair(spark):
 def test_dedup_components_random_graphs_match_union_find(spark):
     """Randomized equivalence: pointer-jump min-label propagation ==
     exact transitive closure (Python union-find oracle) on 30 random
-    pair graphs of varying density."""
+    pair graphs of varying density.  These graphs sit under the default
+    local_threshold, so this exercises the numpy small-graph finish;
+    the distributed loop gets its own forced variant below."""
     import random
 
     from tsc_spark.operators.dedup import dedup_components
@@ -296,6 +301,40 @@ def test_dedup_components_random_graphs_match_union_find(spark):
         df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
         got = {r.doc_id: r.component for r in dedup_components(df).collect()}
         assert got == expected, f"trial {trial}"
+
+
+def test_dedup_components_local_matches_distributed(spark):
+    """Both execution paths — driver-side numpy finish and the
+    checkpointed distributed join loop — must produce identical
+    components, canonical flags and row sets on the same random graphs."""
+    import random
+
+    from tsc_spark.operators.dedup import dedup_components
+
+    rng = random.Random(23)
+    for trial in range(5):
+        n = rng.randint(5, 30)
+        docs = [f"e{trial}_{i:02d}" for i in range(n)]
+        pairs = [
+            tuple(sorted(rng.sample(docs, 2)))
+            for _ in range(rng.randint(2, 40))
+        ]
+        df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+        key = lambda r: (r.doc_id, r.component, r.is_canonical)
+        stats_l, stats_d = {}, {}
+        local = sorted(
+            map(key, dedup_components(df, stats=stats_l).collect())
+        )
+        dist = sorted(
+            map(
+                key,
+                dedup_components(
+                    df, stats=stats_d, local_threshold=None
+                ).collect(),
+            )
+        )
+        assert stats_l["mode"] == "local" and stats_d["mode"] == "distributed"
+        assert local == dist, f"trial {trial}"
 
 
 def test_zero_norm_embeddings_never_rank_or_pair(spark):

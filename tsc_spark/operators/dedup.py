@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ._util import ensure_min_partitions
 
@@ -205,11 +206,66 @@ def contamination_flags(
     )
 
 
+def _local_components(
+    spark,
+    id_type,
+    arcs: list,
+    stats: dict | None,
+) -> DataFrame:
+    """Driver-side finish for a bounded component graph: numpy scatter-min
+    + pointer doubling over the collected arc list.
+
+    Same fixpoint as the distributed loop (labels are exact per-component
+    doc_id minima), just materialized in one process: nodes sorted, label
+    = own index; each round takes the neighbor minimum with
+    ``np.minimum.at`` then jumps the pointer twice (``lab[lab]``).  Both
+    moves are monotone non-increasing and stay inside the component, so
+    the only fixpoint is the component minimum — O(E) work per round,
+    O(log diameter) rounds.  Node ordering note: Python str comparison
+    (code points) and Spark's UTF8 binary ordering agree on ASCII doc
+    ids; both paths produce lexicographic minima."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("component", id_type),
+            T.StructField("is_canonical", T.BooleanType()),
+        ]
+    )
+    if not arcs:
+        if stats is not None:
+            stats.update({"rounds": 0, "converged": True, "mode": "local"})
+        return spark.createDataFrame([], schema)
+    nodes = sorted({s for s, _ in arcs})
+    idx = {d: i for i, d in enumerate(nodes)}
+    a = np.fromiter((idx[s] for s, _ in arcs), dtype=np.int64, count=len(arcs))
+    b = np.fromiter((idx[d] for _, d in arcs), dtype=np.int64, count=len(arcs))
+    lab = np.arange(len(nodes), dtype=np.int64)
+    rounds = 0
+    while True:
+        rounds += 1
+        new = lab.copy()
+        np.minimum.at(new, a, lab[b])
+        new = new[new]
+        new = new[new]
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    if stats is not None:
+        stats.update({"rounds": rounds, "converged": True, "mode": "local"})
+    rows = [
+        (d, nodes[lab[i]], bool(lab[i] == i)) for i, d in enumerate(nodes)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def dedup_components(
     pairs: DataFrame,
     max_iters: int = 20,
     probe_every: int = 1,
     stats: dict | None = None,
+    local_threshold: int | None = 2_000_000,
 ) -> DataFrame:
     """Resolve near-dup pairs into dedup groups: (doc_id, component,
     is_canonical) where ``component`` is the minimum doc_id reachable
@@ -249,7 +305,20 @@ def dedup_components(
     doc_id minima.  Warns on stderr if the loop exits without
     converging (labels may then disagree with exact transitive
     closure); pass a ``stats`` dict to receive
-    {"rounds": int, "converged": bool}."""
+    {"rounds": int, "converged": bool, "mode": "local"|"distributed"}.
+
+    **Bounded small-graph finish** (``local_threshold``, counted in
+    directed arcs = 2× pairs): the pair graph that survives LSH + verify
+    is tiny relative to the corpus — near-dup rates of a few percent
+    leave millions of edges at billion-doc scale, not billions — so when
+    the materialized arc count fits the bound (default 2M arcs ≈ tens of
+    MB) the components are finished on the driver in one numpy
+    pointer-doubling pass instead of ~log(diameter) join jobs.  This is
+    the standard CC hybrid (Kiveris et al. §6 finish small partitions
+    locally; GraphFrames similarly short-circuits); the distributed loop
+    below remains the path for graphs past the bound.  The collect is
+    bounded and counted BEFORE collecting.  Pass ``local_threshold=None``
+    (or 0) to force the distributed loop."""
     del probe_every  # probe is fused into each round's materializing count
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -261,6 +330,15 @@ def dedup_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
+    # one cheap job materializes the cache (so the expensive upstream
+    # pairing runs exactly once on either path) and sizes the graph
+    n_arcs = edges.count()
+    if local_threshold and n_arcs <= int(local_threshold):
+        arcs = [(r.src, r.dst) for r in edges.collect()]
+        edges.unpersist()
+        return _local_components(
+            pairs.sparkSession, pairs.schema["doc_a"].dataType, arcs, stats
+        )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("comp", F.col("doc_id")).localCheckpoint()
     edges2 = edges.union(
@@ -328,6 +406,7 @@ def dedup_components(
         stats["rounds"] = rounds
         stats["converged"] = converged
         stats["round_secs"] = round_secs
+        stats["mode"] = "distributed"
     return labels.select(
         "doc_id",
         F.col("comp").alias("component"),

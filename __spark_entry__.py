@@ -116,8 +116,10 @@ def q_rollup_tier1_streamed(spark, sf_dir):
     several parquet files, drained as a checkpointed file-source stream
     in multiple micro-batches (maxFilesPerTrigger=2, availableNow), and
     the materialized sink is returned — compared against the identical
-    *batch* DuckDB oracle, proving batch/stream equivalence.  Reference
-    analogue: the incremental per-point ingest loop
+    *batch* DuckDB oracle, proving batch/stream equivalence.  Two
+    micro-batches (4 files at 2/trigger) are the minimum that exercises
+    cross-batch incremental append; more adds only trigger overhead.
+    Reference analogue: the incremental per-point ingest loop
     (/root/reference/src/polyphonic/polyphonic_cluster_manager.jl:504-517)."""
     import atexit
     import shutil
@@ -134,7 +136,7 @@ def q_rollup_tier1_streamed(spark, sf_dir):
         F.col("tokens").cast("array<int>").alias("tokens"),
         F.col("n_tok").cast("int").alias("n_tok"),
         "source",
-    ).repartition(8).write.parquet(src)
+    ).repartition(4).write.parquet(src)
 
     q = (
         stream_rollup(stream_tokens(spark, src, max_files=2), 1)
@@ -1737,7 +1739,13 @@ GROUP BY 1"""
 def q_dedup_groups(spark, sf_dir):
     """Near-dup group resolution: LSH candidate pairs → connected
     components → canonical keep-doc per group (the dedup decision a
-    training pipeline applies after pairing)."""
+    training pipeline applies after pairing).
+
+    ``TSC_CC_LOCAL_THRESHOLD=0`` forces the distributed pointer-jump
+    loop so the oracle gate can value-check BOTH execution paths of
+    dedup_components against the same recursive-CTE oracle."""
+    import os
+
     from tsc_spark.operators.dedup import dedup_components, lsh_candidate_pairs
 
     pairs = lsh_candidate_pairs(
@@ -1746,7 +1754,8 @@ def q_dedup_groups(spark, sf_dir):
         k=8,
         bands=4,
     )
-    return dedup_components(pairs)
+    thr = int(os.environ.get("TSC_CC_LOCAL_THRESHOLD", 2_000_000)) or None
+    return dedup_components(pairs, local_threshold=thr)
 
 
 SQL_DEDUP_GROUPS = f"""WITH RECURSIVE {_sql_shingles(3)},

@@ -138,6 +138,22 @@ def run_pipeline_bench(
             n_docs = toks.count()
         n_points = toks.agg(F.sum("n_tok")).collect()[0][0]
 
+        # Warm the per-process machinery UNTIMED (Python-worker spawn on
+        # every core, Arrow serde, codegen, noop sink) on a tiny slice:
+        # a cold repeats=1 run — the --scaling subprocesses — otherwise
+        # pays ~seconds of fixed startup inside the timed region, which
+        # depresses the fast parallelism level far more than the slow
+        # one and corrupts the efficiency ratio (measured: local[8]
+        # 4.6M pts/s cold vs ~11M warm on identical code).
+        try:
+            _warmup(spark)
+            wtiers = tiered_rollups(toks.limit(2048), with_gapfill=True)
+            for tier in (0, 1, 2):
+                _force(wtiers[tier])
+        except Exception as e:
+            print(f"# pipeline warmup failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
         # best-of-N timed region: external contention on a shared host
         # only ever depresses throughput, so min elapsed estimates the
         # uncontended rate (cross-round comparability, round-3 verdict)
@@ -182,6 +198,14 @@ def run_cluster_bench(spark, n_docs: int) -> dict:
         ).parquet(corpus)
         toks = spark.read.parquet(corpus)
         n_points = toks.agg(F.sum("n_tok")).collect()[0][0]
+        # same untimed warm-up rationale as run_pipeline_bench: spawn the
+        # Python workers / codegen outside the single timed region
+        try:
+            _warmup(spark)
+            _force(cluster_timeline(toks.limit(64)))
+        except Exception as e:
+            print(f"# cluster warmup failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
         t0 = time.perf_counter()
         _force(cluster_timeline(toks))
         elapsed = time.perf_counter() - t0

@@ -401,3 +401,74 @@ def test_ragged_embedding_batch_raises_clearly(spark):
     )
     with pytest.raises(Exception, match="ragged embedding lengths"):
         cosine_scores(emb2, [1.0, 1.0]).collect()
+
+
+def test_near_dup_measured_recall_and_precision(spark):
+    """MEASURED recall of the banded multi-table LSH against brute-force
+    ground truth (the recall formula in near_dup_embeddings' docstring is
+    otherwise only asserted on one planted pair): 12 base vectors x 5
+    perturbed copies plant 120 true near-dup pairs among 440 noise
+    vectors.  At p=adaptive_n_planes(500)=4 planes and L=4 tables the
+    formula gives recall = 1-(1-(1-theta/pi)^4)^4 ~= 0.997 at cos 0.98;
+    assert the measurement clears 0.9.  Precision must be exactly 1.0 —
+    every emitted pair passes the exact-cosine verify, so the output is
+    a subset of the brute-force truth set at the same round(6)."""
+    import numpy as np
+
+    from tsc_spark.operators.similarity import near_dup_embeddings
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    vecs = []
+    for b in range(12):
+        base = rng.standard_normal(dim)
+        for _ in range(5):
+            vecs.append(
+                (len(vecs), (base + rng.standard_normal(dim) * 0.02).tolist())
+            )
+    for _ in range(440):
+        vecs.append((len(vecs), rng.standard_normal(dim).tolist()))
+
+    x = np.array([v for _, v in vecs], dtype=np.float64)
+    nrm = np.maximum(np.linalg.norm(x, axis=1), 1e-12)
+    cos = (x @ x.T) / np.outer(nrm, nrm)
+    ia, ib = np.triu_indices(len(vecs), 1)
+    keep = np.round(cos[ia, ib], 6) >= 0.98
+    truth = set(zip(ia[keep].tolist(), ib[keep].tolist()))
+    assert len(truth) >= 100  # the plant worked
+
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in near_dup_embeddings(emb, dim=dim, threshold=0.98).collect()
+    }
+    assert got <= truth  # exact verify => precision 1.0
+    assert len(got) / len(truth) >= 0.9  # measured recall
+
+
+def test_ann_lsh_measured_recall_planted(spark):
+    """MEASURED recall for multi-probe LSH top-k: 5 planted vectors at
+    cos ~0.9996 to the query among 495 noise vectors.  Per-plane flip
+    probability is theta/pi ~= 0.009, so P(>2 of 8 planes flip) ~= 4e-5
+    — radius-2 multi-probe must recover all 5 in the top-10 (and the
+    exact path agrees on the full top-5 prefix)."""
+    import numpy as np
+
+    from tsc_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    rng = np.random.default_rng(13)
+    dim = 32
+    query = rng.standard_normal(dim)
+    vecs = [
+        (1000 + i, (query + rng.standard_normal(dim) * 0.02).tolist())
+        for i in range(5)
+    ]
+    for i in range(495):
+        vecs.append((i, rng.standard_normal(dim).tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    got = ann_topk_lsh(emb, query.tolist(), dim=dim, k=10).collect()
+    got_ids = [r.vec_id for r in got]
+    assert set(range(1000, 1005)) <= set(got_ids)
+    exact = [r.vec_id for r in cosine_topk(emb, query.tolist(), k=5).collect()]
+    assert got_ids[:5] == exact

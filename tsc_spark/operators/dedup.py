@@ -260,6 +260,45 @@ def _local_components(
     return spark.createDataFrame(rows, schema)
 
 
+def _cc_round(edges2: DataFrame, labels: DataFrame) -> DataFrame:
+    """One pointer-jump CC round, pre-checkpoint: neighbor-min (with the
+    old label read off the self-loop row) + double pointer jump through
+    the previous mapping.  `labels` is checkpointed by the caller, so
+    each consumption re-reads materialized partitions, never re-executes
+    a join.  prev(x) ≤ x and stays inside x's component, so both hops
+    preserve the invariants (see dedup_components' fixpoint proof).
+
+    Split out so the per-round job — the constant-size unit of work the
+    loop repeats O(log diameter) times at any scale — has an inspectable
+    plan (`scripts/dump_plans.py` dumps it into PLANS.md)."""
+    nm = (
+        edges2.join(labels, edges2["dst"] == labels["doc_id"])
+        .groupBy("src")
+        .agg(
+            F.min("comp").alias("nmin"),
+            # v's own previous label, read off the self-loop row
+            F.min(
+                F.when(F.col("dst") == F.col("src"), F.col("comp"))
+            ).alias("old"),
+        )
+    )
+    j1 = labels.select(
+        F.col("doc_id").alias("p_id"), F.col("comp").alias("p_comp")
+    )
+    j2 = labels.select(
+        F.col("doc_id").alias("q_id"), F.col("comp").alias("q_comp")
+    )
+    return (
+        nm.join(j1, nm["nmin"] == j1["p_id"])
+        .join(j2, F.col("p_comp") == F.col("q_id"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("q_comp").alias("comp"),
+            (F.col("q_comp") != F.col("old")).alias("changed"),
+        )
+    )
+
+
 def dedup_components(
     pairs: DataFrame,
     max_iters: int = 20,
@@ -352,37 +391,7 @@ def dedup_components(
     for it in range(int(max_iters)):
         _t0 = _time.perf_counter()
         rounds = it + 1
-        nm = (
-            edges2.join(labels, edges2["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(
-                F.min("comp").alias("nmin"),
-                # v's own previous label, read off the self-loop row
-                F.min(
-                    F.when(F.col("dst") == F.col("src"), F.col("comp"))
-                ).alias("old"),
-            )
-        )
-        # double pointer jump through the previous mapping — `labels` is
-        # checkpointed, so each consumption re-reads materialized
-        # partitions, never re-executes a join.  prev(x) ≤ x and stays
-        # inside x's component, so both hops preserve the invariants.
-        j1 = labels.select(
-            F.col("doc_id").alias("p_id"), F.col("comp").alias("p_comp")
-        )
-        j2 = labels.select(
-            F.col("doc_id").alias("q_id"), F.col("comp").alias("q_comp")
-        )
-        new_labels = (
-            nm.join(j1, nm["nmin"] == j1["p_id"])
-            .join(j2, F.col("p_comp") == F.col("q_id"))
-            .select(
-                F.col("src").alias("doc_id"),
-                F.col("q_comp").alias("comp"),
-                (F.col("q_comp") != F.col("old")).alias("changed"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        new_labels = _cc_round(edges2, labels).localCheckpoint(eager=False)
         # the ONE job per round: materializes the lazy checkpoint and
         # returns the convergence count in the same pass
         changed = new_labels.filter("changed").count()

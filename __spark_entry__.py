@@ -167,7 +167,11 @@ def q_retention_streamed(spark, sf_dir):
     and hence all its rollup windows — lands in exactly one micro-batch,
     and the keep-last-N sweep is per-doc, so re-sweeping on later
     batches never changes already-swept docs: the final sink must equal
-    the batch-global sweep exactly."""
+    the batch-global sweep exactly.  ``max_files=2`` over 4 source files
+    forces TWO genuine micro-batches so the cross-batch re-sweep path —
+    batch 2's sweep re-reading batch 1's survivors — is actually
+    exercised (a single availableNow batch would reduce this gate to
+    the existing batch retention_sweep check)."""
     import atexit
     import shutil
     import tempfile
@@ -186,7 +190,7 @@ def q_retention_streamed(spark, sf_dir):
     ).repartition(4).write.parquet(src)
 
     run_rollup_stream_with_retention(
-        spark, src, out, ckpt, tier=1, policy={1: 4}
+        spark, src, out, ckpt, tier=1, policy={1: 4}, max_files=2
     )
 
     return spark.read.parquet(out).select(

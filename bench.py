@@ -135,7 +135,17 @@ def run_pipeline_bench(
 
         toks = spark.read.parquet(corpus)
         if corpus_dir:
-            n_docs = toks.count()
+            found_docs = toks.count()
+            if found_docs != n_docs:
+                # a leftover corpus of a different size would otherwise be
+                # benched silently under the requested --docs label
+                print(
+                    f"# WARNING: --corpus-dir holds {found_docs} docs but "
+                    f"--docs requested {n_docs}; benching the at-rest "
+                    "corpus (delete the dir to regenerate)",
+                    file=sys.stderr,
+                )
+            n_docs = found_docs
         n_points = toks.agg(F.sum("n_tok")).collect()[0][0]
 
         # Warm the per-process machinery UNTIMED (Python-worker spawn on
@@ -323,13 +333,19 @@ def main() -> None:
         for cpus in (lo, hi):
             best = None
             for _ in range(max(args.scale_repeats, 1)):
+                argv = [sys.executable, os.path.abspath(__file__),
+                        "--pipeline-only", "--kernel", args.kernel,
+                        "--cpus", cpus, "--docs", str(args.docs),
+                        # the outer loop is already best-of---scale-repeats;
+                        # inner repeats would silently multiply its cost
+                        "--query-repeats", "1"]
+                if args.corpus_dir and args.kernel == "rollup":
+                    # generation is parallelism-invariant, so every level
+                    # can share one at-rest corpus: the first subprocess
+                    # writes it, the rest reuse (minutes saved at 32M docs)
+                    argv += ["--corpus-dir", args.corpus_dir]
                 proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--pipeline-only", "--kernel", args.kernel,
-                     "--cpus", cpus, "--docs", str(args.docs),
-                     # the outer loop is already best-of---scale-repeats;
-                     # inner repeats would silently multiply its cost
-                     "--query-repeats", "1"],
+                    argv,
                     capture_output=True, text=True,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )

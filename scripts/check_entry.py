@@ -53,10 +53,14 @@ def main():
     os.environ["TSC_ORACLE_SF_DIR"] = sf_dir
 
     # override to prove parallelism invariance: the same oracles must
-    # match at ANY core/partition count (e.g. TSC_CHECK_CPUS=32)
+    # match at ANY core/partition count (e.g. TSC_CHECK_CPUS=32, or '*'
+    # for all cores — non-numeric specs keep the default 8 shuffle
+    # partitions rather than crashing before the gate starts)
     cpus = os.environ.get("TSC_CHECK_CPUS", "8")
     spark = get_spark(
-        "check_entry", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        "check_entry",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 8,
     )
     con = duckdb.connect()
     for t in TABLES:

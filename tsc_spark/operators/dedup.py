@@ -209,11 +209,11 @@ def contamination_flags(
 def _local_components(
     spark,
     id_type,
-    arcs: list,
+    arcs_pdf,
     stats: dict | None,
 ) -> DataFrame:
     """Driver-side finish for a bounded component graph: numpy scatter-min
-    + pointer doubling over the collected arc list.
+    + pointer doubling over the Arrow-collected arc table.
 
     Same fixpoint as the distributed loop (labels are exact per-component
     doc_id minima), just materialized in one process: nodes sorted, label
@@ -221,10 +221,15 @@ def _local_components(
     ``np.minimum.at`` then jumps the pointer twice (``lab[lab]``).  Both
     moves are monotone non-increasing and stay inside the component, so
     the only fixpoint is the component minimum — O(E) work per round,
-    O(log diameter) rounds.  Node ordering note: Python str comparison
-    (code points) and Spark's UTF8 binary ordering agree on ASCII doc
-    ids; both paths produce lexicographic minima."""
+    O(log diameter) rounds.  The arc table arrives as a pandas frame
+    (Arrow transfer) and node indexing is one ``np.unique`` — at the
+    2M-arc threshold this stays ~tens of MB of numpy/Arrow buffers,
+    never millions of Python Row/tuple objects.  Node ordering note:
+    numpy's str/bytes comparison, Python's and Spark's UTF8 binary
+    ordering agree on ASCII doc ids; all paths produce lexicographic
+    minima."""
     import numpy as np
+    import pandas as pd
 
     schema = T.StructType(
         [
@@ -233,31 +238,49 @@ def _local_components(
             T.StructField("is_canonical", T.BooleanType()),
         ]
     )
-    if not arcs:
+    if len(arcs_pdf) == 0:
         if stats is not None:
-            stats.update({"rounds": 0, "converged": True, "mode": "local"})
+            stats.update(
+                {"rounds": 0, "converged": True, "mode": "local",
+                 "round_secs": []}
+            )
         return spark.createDataFrame([], schema)
-    nodes = sorted({s for s, _ in arcs})
-    idx = {d: i for i, d in enumerate(nodes)}
-    a = np.fromiter((idx[s] for s, _ in arcs), dtype=np.int64, count=len(arcs))
-    b = np.fromiter((idx[d] for _, d in arcs), dtype=np.int64, count=len(arcs))
+    both = np.concatenate(
+        [arcs_pdf["src"].to_numpy(), arcs_pdf["dst"].to_numpy()]
+    )
+    # sorted unique nodes + per-arc indices in one vectorized pass
+    nodes, inv = np.unique(both, return_inverse=True)
+    n_arcs = len(arcs_pdf)
+    a, b = inv[:n_arcs], inv[n_arcs:]
     lab = np.arange(len(nodes), dtype=np.int64)
     rounds = 0
+    import time as _time
+
+    round_secs: list[float] = []
     while True:
+        _t0 = _time.perf_counter()
         rounds += 1
         new = lab.copy()
         np.minimum.at(new, a, lab[b])
         new = new[new]
         new = new[new]
+        round_secs.append(round(_time.perf_counter() - _t0, 6))
         if np.array_equal(new, lab):
             break
         lab = new
     if stats is not None:
-        stats.update({"rounds": rounds, "converged": True, "mode": "local"})
-    rows = [
-        (d, nodes[lab[i]], bool(lab[i] == i)) for i, d in enumerate(nodes)
-    ]
-    return spark.createDataFrame(rows, schema)
+        stats.update(
+            {"rounds": rounds, "converged": True, "mode": "local",
+             "round_secs": round_secs}
+        )
+    out = pd.DataFrame(
+        {
+            "doc_id": nodes,
+            "component": nodes[lab],
+            "is_canonical": lab == np.arange(len(nodes), dtype=np.int64),
+        }
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def _cc_round(edges2: DataFrame, labels: DataFrame) -> DataFrame:
@@ -373,10 +396,10 @@ def dedup_components(
     # pairing runs exactly once on either path) and sizes the graph
     n_arcs = edges.count()
     if local_threshold and n_arcs <= int(local_threshold):
-        arcs = [(r.src, r.dst) for r in edges.collect()]
+        arcs_pdf = edges.toPandas()  # Arrow-batched; bounded by the count above
         edges.unpersist()
         return _local_components(
-            pairs.sparkSession, pairs.schema["doc_a"].dataType, arcs, stats
+            pairs.sparkSession, pairs.schema["doc_a"].dataType, arcs_pdf, stats
         )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("comp", F.col("doc_id")).localCheckpoint()

@@ -132,6 +132,7 @@ def run_rollup_stream_with_retention(
     checkpoint_dir: str,
     tier: int = 1,
     policy: dict[int, int] | None = None,
+    max_files: int = 64,
 ) -> None:
     """Streaming ingest → tier rollup → retention sweep per micro-batch.
 
@@ -180,7 +181,7 @@ def run_rollup_stream_with_retention(
         os.replace(mtmp, marker)
 
     q = (
-        stream_tokens(spark, src_dir)
+        stream_tokens(spark, src_dir, max_files=max_files)
         .writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -172,9 +172,20 @@ points = st.lists(
 def test_octave_window_distance_invariant_under_db_octave_shift(q, db, k):
     """Shifting the DB window by whole octaves must not change the
     octave-invariant distance: the center octave estimate compensates
-    exactly (all note arithmetic is integer-valued, hence float-exact)."""
+    exactly (all note arithmetic is integer-valued, hence float-exact).
+
+    EXCEPT at exact half-octave first-note gaps (gap ≡ 6 mod 12): there
+    the center is a .5 value and round-half-even — the reference's own
+    Julia round() semantics — picks the even neighbor, so an octave
+    shift moves the candidate window {center−1, center, center+1}
+    asymmetrically (round(−5.5) = −6 but round(−6.5) = −6 too).  That
+    asymmetry is faithful reference behavior (hypothesis found it), so
+    the half-boundary residue is excluded rather than 'fixed'."""
+    from hypothesis import assume
+
     from tsc_spark.kernel.notevol import octave_invariant_window_distance01
 
+    assume(int(q[0][0] - db[0][0]) % 12 != 6)
     ws = min(len(q), len(db))
     base = octave_invariant_window_distance01(q, db, 0, 0, ws)
     shifted_db = [[n + 12.0 * k, v] for n, v in db]

@@ -28,7 +28,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="tokens parquet/Iceberg path")
+    ap.add_argument("--input", help="tokens parquet path or Iceberg catalog table")
+    ap.add_argument("--input-format", default=None,
+                    choices=["parquet", "iceberg", "table"],
+                    help="force the --input format (default: infer — path "
+                         "separators mean parquet, otherwise a catalog table)")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="Iceberg time-travel: read this snapshot of --input")
+    ap.add_argument("--as-of-timestamp", type=int, default=None,
+                    help="Iceberg time-travel: read --input as of this epoch-ms")
     ap.add_argument("--synth-docs", type=int, default=0,
                     help="generate a deterministic synthetic corpus instead of --input")
     ap.add_argument("--base-dir", required=True)
@@ -61,7 +69,15 @@ def main() -> None:
 
                 tokens = synth_tokens_distributed(spark, args.synth_docs)
             elif args.input:
-                tokens = spark.read.parquet(args.input)
+                from tsc_spark.sources.tokens import read_tokens
+
+                tokens = read_tokens(
+                    spark,
+                    args.input,
+                    fmt=args.input_format,
+                    snapshot_id=args.snapshot_id,
+                    as_of_timestamp=args.as_of_timestamp,
+                )
             else:
                 ap.error("one of --input / --synth-docs is required for a fresh run")
             t0 = time.time()

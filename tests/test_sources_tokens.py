@@ -1,0 +1,66 @@
+"""read_tokens: Iceberg-or-parquet entry point + schema canonicalization."""
+
+import pytest
+
+from tsc_spark.sources.tokens import TOKENS_COLUMNS, canonicalize_tokens, read_tokens
+
+
+def test_parquet_roundtrip_canonical(spark, tmp_path):
+    path = str(tmp_path / "toks.parquet")
+    spark.createDataFrame(
+        [("d1", [1, 2, 3], 3, "s"), ("d2", [4], 1, "t")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).write.parquet(path)
+    out = read_tokens(spark, path)
+    assert tuple(out.columns) == TOKENS_COLUMNS
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows["d1"].tokens == [1, 2, 3] and rows["d1"].n_tok == 3
+
+
+def test_canonicalize_derives_missing_columns(spark, tmp_path):
+    # physical table with int doc_id, bigint tokens, no n_tok/source
+    path = str(tmp_path / "raw.parquet")
+    spark.createDataFrame(
+        [(7, [10, 20])], "doc_id int, tokens array<bigint>"
+    ).write.parquet(path)
+    out = read_tokens(spark, path)
+    row = out.collect()[0]
+    assert row.doc_id == "7"  # cast to the contract's string
+    assert row.tokens == [10, 20] and row.n_tok == 2 and row.source == "unknown"
+    assert out.schema["tokens"].dataType.simpleString() == "array<int>"
+
+
+def test_canonicalize_rejects_missing_tokens(spark):
+    df = spark.createDataFrame([("a",)], "doc_id string")
+    with pytest.raises(ValueError, match="missing required column"):
+        canonicalize_tokens(df)
+
+
+def test_canonicalize_rejects_non_array_tokens(spark):
+    df = spark.createDataFrame([("a", "xyz")], "doc_id string, tokens string")
+    with pytest.raises(ValueError, match="must be array<int>"):
+        canonicalize_tokens(df)
+
+
+def test_catalog_table_branch(spark):
+    spark.createDataFrame(
+        [("d9", [5, 6], 2, "u")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).createOrReplaceTempView("toks_view")
+    # no '/' in the location => resolved through the catalog, the Iceberg
+    # production path (spark.read.table handles DSv2 tables identically)
+    out = read_tokens(spark, "toks_view")
+    assert out.collect()[0].doc_id == "d9"
+
+
+def test_time_travel_rejected_for_parquet(spark, tmp_path):
+    path = str(tmp_path / "t.parquet")
+    with pytest.raises(ValueError, match="snapshot lineage"):
+        read_tokens(spark, path, snapshot_id=123)
+
+
+def test_missing_iceberg_runtime_is_actionable(spark):
+    # the sandbox has no iceberg-spark-runtime jar; the failure must say
+    # how to get one rather than surfacing a raw ClassNotFoundException
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_tokens(spark, "db.tokens", fmt="iceberg")

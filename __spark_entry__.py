@@ -203,6 +203,101 @@ def q_retention_streamed(spark, sf_dir):
     )
 
 
+def q_cluster_timeline_streamed(spark, sf_dir):
+    """§2.9 STATEFUL-streaming evidence: the incremental clustering kernel
+    executed through ``applyInPandasWithState`` — per-doc kernel state in
+    Spark's checkpointed state store, token chunks arriving across TWO
+    micro-batches (one parquet file per chunk wave, maxFilesPerTrigger=1,
+    availableNow; two batches are the cross-batch minimum, matching the
+    other streamed gates — more adds only trigger overhead), final
+    per-doc timeline compared against the BATCH kernel's fixture oracle
+    on the same docs.  This is the closest Spark
+    analogue of the reference's per-point permanent ingest loop
+    (/root/reference/src/polyphonic/polyphonic_cluster_manager.jl:504-517):
+    state survives between arrivals and each arrival extends the forest
+    incrementally.  Docs are the deterministic `doc_id % 25 == 0` slice —
+    enough series for real evidence, bounded stream-state cost."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from tsc_spark.streaming.stateful import (
+        CHUNK_SCHEMA,
+        incremental_cluster_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="tsc_statestream_q_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+
+    toks = _tokens(spark, sf_dir).filter(F.col("doc_id").cast("int") % 25 == 0)
+    n_chunks = 2
+    chunks = toks.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_chunks)])).alias("seq"),
+        "tokens",
+        "n_tok",
+    ).select(
+        "doc_id",
+        F.col("seq").cast("long").alias("seq_no"),
+        F.expr(
+            f"slice(tokens, seq * CAST(ceil(n_tok / {n_chunks}.0) AS INT) + 1, "
+            f"CAST(ceil(n_tok / {n_chunks}.0) AS INT))"
+        )
+        .cast("array<int>")
+        .alias("tokens_chunk"),
+    )
+    # one parquet file per chunk wave: with maxFilesPerTrigger=1 every
+    # doc's state is built incrementally ACROSS micro-batches, which is
+    # the cross-batch path this gate exists to prove (one batch would
+    # reduce it to the batch cluster_timeline check)
+    for i in range(n_chunks):
+        chunks.filter(F.col("seq_no") == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # scope the state-store partition count to the 20-doc evidence slice
+    # (state partitions = shuffle partitions at first batch; 32 of them
+    # is pure per-batch overhead here — production streams keep the
+    # session default so state scales with the cluster)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            incremental_cluster_stream(stream, merge_threshold_ratio=0.3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+    # each micro-batch that applied chunks re-emitted the doc's timeline
+    # at its then-current length; the answer is the final one (n_points =
+    # the doc's full series length)
+    emitted = spark.read.parquet(out)
+    final = emitted.withColumn(
+        "mx", F.max("n_points").over(Window.partitionBy("doc_id"))
+    ).filter(F.col("n_points") == F.col("mx"))
+    return final.select(
+        "doc_id",
+        F.col("window_size").cast("long").alias("window_size"),
+        "cluster_id",
+        _csv_int_arr("indices").alias("indices"),
+    )
+
+
 def _sql_rollup(stride: int) -> str:
     return f"""WITH {SQL_TOKENS}, {SQL_POINTS}
 SELECT doc_id,
@@ -1834,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_tier1_streamed": q_rollup_tier1_streamed,
         "events_hourly_streamed": q_events_hourly_streamed,
         "retention_streamed": q_retention_streamed,
+        "cluster_timeline_streamed": q_cluster_timeline_streamed,
         # --- rotated in (dark in round 3; driver rows due) ---
         "rollup_locf": q_rollup_locf,
         "normalized_scores": q_normalized_scores,
@@ -1867,10 +1963,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_sweep": q_retention_sweep,
         "window_matches": q_window_matches,
         "octave_matches": q_octave_matches,
-        "codec_roundtrip": q_codec_roundtrip,
         "normalize_combine": q_normalize_combine,
         "stm_interference": q_stm_interference,
-        # --- positions 51+: round-3 driver-green, code untouched this round ---
+        # --- positions 51+: round-3/4 driver-green, code untouched since ---
+        # codec_roundtrip demoted to make room for cluster_timeline_streamed
+        # (green in r3's driver gate; codecs untouched since their r3 review)
+        "codec_roundtrip": q_codec_roundtrip,
         "ann_topk_lsh": q_ann_lsh,
         "ann_topk_ivf": q_ann_ivf,
         "near_dup_embeddings": q_near_dup_embeddings,

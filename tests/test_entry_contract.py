@@ -26,6 +26,7 @@ ROUND_DUE = [
     "events_hourly", "corr_qty_price",
     # new this round
     "rollup_tier1_streamed", "events_hourly_streamed", "retention_streamed",
+    "cluster_timeline_streamed",
     # changed-code queries (operators/matching.py, operators/dedup.py,
     # operators/text.py, kernel/manager.py, kernel/matching.py)
     "window_matches", "octave_matches", "exact_dups", "decontaminate",
@@ -39,12 +40,15 @@ ROUND_DUE = [
 
 # the only queries allowed in the dark tail: driver-green in round 3 AND
 # on files untouched this round (similarity / multimodal / asof /
-# sessionize / sketch / dissonance / native-SQL)
+# sessionize / sketch / dissonance / codecs / native-SQL)
 ROTATABLE_TAIL = [
     "ann_topk_lsh", "ann_topk_ivf", "near_dup_embeddings", "cosine_topk",
     "chord_roughness", "media_stats", "image_features", "asof_join",
     "range_join", "sessionize", "collapse_max", "kmv_distinct",
     "stable_sample", "stable_id", "top_customers",
+    # green in r3's driver gate; codecs untouched since their r3 review —
+    # demoted to make a head slot for cluster_timeline_streamed
+    "codec_roundtrip",
 ]
 
 

@@ -151,6 +151,23 @@ def _fx_cluster_timeline(sf_dir: str):
     return ["doc_id", "window_size", "cluster_id", "indices"], rows
 
 
+def _fx_cluster_timeline_streamed(sf_dir: str):
+    """Batch-kernel oracle for the stateful-streaming query: the final
+    streamed timeline must equal the batch timeline on the same
+    deterministic `doc_id % 25 == 0` slice (chunk-order invariance is
+    the streaming operator's contract, tests/test_streaming_stateful)."""
+    from .kernel.api import analyse_tokens
+
+    rows = []
+    for doc_id, toks in load_token_series(sf_dir):
+        if int(doc_id) % 25 != 0:
+            continue
+        mgr = analyse_tokens(toks, 0.3)
+        for ws, cid, inds in mgr.timeline():
+            rows.append((doc_id, int(ws), cid, _csv(inds)))
+    return ["doc_id", "window_size", "cluster_id", "indices"], rows
+
+
 def _fx_cluster_tree(sf_dir: str):
     from .kernel.api import analyse_tokens
 
@@ -330,6 +347,7 @@ def _fx_image_features(sf_dir: str):
 
 FIXTURE_BUILDERS = {
     "cluster_timeline": _fx_cluster_timeline,
+    "cluster_timeline_streamed": _fx_cluster_timeline_streamed,
     "cluster_tree": _fx_cluster_tree,
     "cluster_timeline_poly": _fx_cluster_timeline_poly,
     "query_matches": _fx_query_matches,

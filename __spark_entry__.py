@@ -252,11 +252,16 @@ def q_cluster_timeline_streamed(spark, sf_dir):
     # one parquet file per chunk wave: with maxFilesPerTrigger=1 every
     # doc's state is built incrementally ACROSS micro-batches, which is
     # the cross-batch path this gate exists to prove (one batch would
-    # reduce it to the batch cluster_timeline check)
-    for i in range(n_chunks):
-        chunks.filter(F.col("seq_no") == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    # reduce it to the batch cluster_timeline check).  persist() so the
+    # documents scan + tokenize runs once, not once per wave.
+    chunks = chunks.persist()
+    try:
+        for i in range(n_chunks):
+            chunks.filter(F.col("seq_no") == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+    finally:
+        chunks.unpersist()
 
     stream = (
         spark.readStream.schema(CHUNK_SCHEMA)

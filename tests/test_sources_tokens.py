@@ -38,7 +38,7 @@ def test_canonicalize_rejects_missing_tokens(spark):
 
 def test_canonicalize_rejects_non_array_tokens(spark):
     df = spark.createDataFrame([("a", "xyz")], "doc_id string, tokens string")
-    with pytest.raises(ValueError, match="must be array<int>"):
+    with pytest.raises(ValueError, match="must be an integral array"):
         canonicalize_tokens(df)
 
 
@@ -64,3 +64,44 @@ def test_missing_iceberg_runtime_is_actionable(spark):
     # how to get one rather than surfacing a raw ClassNotFoundException
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_tokens(spark, "db.tokens", fmt="iceberg")
+
+
+def test_unknown_fmt_rejected_before_read(spark):
+    with pytest.raises(ValueError, match="unknown tokens format"):
+        read_tokens(spark, "db.tokens", fmt="Iceberg")
+
+
+def test_non_integral_tokens_rejected(spark):
+    from tsc_spark.sources.tokens import canonicalize_tokens
+
+    df = spark.createDataFrame(
+        [("a", ["x", "y"])], "doc_id string, tokens array<string>"
+    )
+    with pytest.raises(ValueError, match="integral array"):
+        canonicalize_tokens(df)
+
+
+def test_table_time_travel_hard_fails_on_non_iceberg(spark):
+    # DSv2 reader options are silently DROPPED by non-Iceberg relations;
+    # the SQL `FOR VERSION AS OF` path must hard-fail instead of
+    # returning current data for a historical query
+    spark.createDataFrame(
+        [("d1", [1], 1, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).createOrReplaceTempView("toks_tt_view")
+    with pytest.raises(Exception, match="(?i)time travel|iceberg"):
+        read_tokens(spark, "toks_tt_view", snapshot_id=1)
+
+
+def test_bare_existing_dir_inferred_as_parquet(spark, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    spark.createDataFrame(
+        [("d1", [1, 2], 2, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).write.parquet(str(tmp_path / "tokens_data"))
+    out = read_tokens(spark, str(tmp_path / "tokens_data"))
+    assert out.count() == 1
+    # and the separator-free relative form resolves via os.path.exists
+    from tsc_spark.sources.tokens import _infer_fmt
+
+    assert _infer_fmt("tokens_data") == "parquet"

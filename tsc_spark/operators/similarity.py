@@ -211,20 +211,46 @@ def ivf_fit_centroids(
     return _kmeans_numpy(x, n_centroids, n_iters, seed)
 
 
+def det_sims(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """``x @ cents.T`` with a FIXED accumulation order (sequential over
+    the feature axis, elementwise FMA per step — no BLAS reduction).
+
+    BLAS gemm picks its reduction order per CPU microarchitecture and
+    thread count, so the same fit re-run on a different host drifts
+    centroid literals at the last ulp (observed: 118/1024 literals moved
+    across two sandbox VMs) — which would desynchronize the committed
+    oracle SQL from a driver-side refit.  The coarse-quantizer fit is
+    tiny (≤64k×dim), so fixed-order costs nothing measurable; the hot
+    distributed assignment path (ivf_assign) keeps BLAS, whose ulp noise
+    only matters at exact argmax ties."""
+    sims = np.zeros((x.shape[0], cents.shape[0]), dtype=np.float64)
+    for d in range(x.shape[1]):
+        sims += x[:, d : d + 1] * cents[None, :, d]
+    return sims
+
+
+def det_rowdot(m: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """``m @ v`` via numpy pairwise reduce (BLAS-free, order-stable)."""
+    return np.add.reduce(m * v, axis=1)
+
+
 def _kmeans_numpy(
     x: np.ndarray, n_centroids: int, n_iters: int, seed: int
 ) -> np.ndarray:
-    """Shared spherical-k-means core (also used by the oracle replica)."""
+    """Shared spherical-k-means core (also used by the oracle replica).
+
+    Every reduction is fixed-order (det_sims / np.add.reduce) so the
+    fit is bit-reproducible across hosts — the committed ANN oracle
+    literals must equal a driver-side refit exactly."""
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(x.shape[0], size=min(n_centroids, x.shape[0]), replace=False)]
     for _ in range(n_iters):
-        sims = x @ cents.T
-        assign = sims.argmax(axis=1)
+        assign = det_sims(x, cents).argmax(axis=1)
         for c in range(cents.shape[0]):
             members = x[assign == c]
             if members.shape[0]:
                 m = members.mean(axis=0)
-                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+                cents[c] = m / max(float(np.sqrt(np.add.reduce(m * m))), 1e-12)
     return cents
 
 
@@ -350,8 +376,10 @@ def ivf_topk(
     if cents is None:
         cents = ivf_fit_centroids(emb, dim, n_centroids)
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probe_lists = np.argsort(-(cents @ qn))[: max(nprobe, 1)].tolist()
+    qn = q / max(float(np.sqrt(np.add.reduce(q * q))), 1e-12)
+    # det_rowdot: probe choice must be bit-stable across hosts so the
+    # committed oracle's probe set always matches a driver-side refit
+    probe_lists = np.argsort(-det_rowdot(cents, qn))[: max(nprobe, 1)].tolist()
     assigned = ivf_assign(emb, cents)
     cand = assigned.filter(F.col("ivf_list").isin([int(p) for p in probe_lists]))
     return cosine_topk(cand.drop("ivf_list"), query_vec, k)

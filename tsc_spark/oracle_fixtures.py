@@ -604,8 +604,13 @@ cand AS (
     x = np.array([e for vid, e in rows if vid != 0][:65536], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cents = _kmeans_numpy(x, 16, 5, 11)
-    qn = qv / max(float(np.linalg.norm(qv)), 1e-12)
-    probes = np.argsort(-(cents @ qn))[:4].tolist()
+    # fixed-order reductions, mirroring ivf_topk exactly — BLAS matvec
+    # order varies per host and would desync probe choice (similarity.
+    # det_rowdot docstring)
+    from .operators.similarity import det_rowdot
+
+    qn = qv / max(float(np.sqrt(np.add.reduce(qv * qv))), 1e-12)
+    probes = np.argsort(-det_rowdot(cents, qn))[:4].tolist()
     sims = "[" + ", ".join(_dot_sql("embedding", cents[c]) for c in range(cents.shape[0])) + "]"
     # --- embedding near-dups (twin of similarity.near_dup_embeddings) ---
     # mirrors the multi-table adaptive scheme: n_planes derived from the

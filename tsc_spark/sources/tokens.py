@@ -21,6 +21,9 @@ time_series_controller.jl:755-758); series_id tag tuple ->  doc_id.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -29,18 +32,24 @@ __all__ = ["TOKENS_COLUMNS", "read_tokens", "canonicalize_tokens"]
 
 TOKENS_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
 
-# Iceberg DSv2 read options (https://iceberg.apache.org/docs/latest/spark-queries/)
-_ICEBERG_TIME_TRAVEL = {
-    "snapshot_id": "snapshot-id",
-    "as_of_timestamp": "as-of-timestamp",
-    "branch": "branch",
-}
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+# dotted identifier chain, each part optionally backtick-quoted — what a
+# catalog table reference may look like; anything else is not safe to
+# splice into the time-travel SQL below
+_TABLE_REF = re.compile(r"^(`[^`]+`|\w+)(\.(`[^`]+`|\w+))*$")
 
 
 def _infer_fmt(location: str) -> str:
-    # a filesystem path (has a separator or a parquet suffix) is parquet;
+    # a filesystem path (has a separator, a parquet suffix, or actually
+    # exists locally — covers bare relative directories) is parquet;
     # anything else is a catalog table name like `cat.db.tokens`
-    if "/" in location or location.endswith(".parquet"):
+    if (
+        "/" in location
+        or "\\" in location
+        or location.endswith(".parquet")
+        or os.path.exists(location)
+    ):
         return "parquet"
     return "table"
 
@@ -48,10 +57,12 @@ def _infer_fmt(location: str) -> str:
 def canonicalize_tokens(df: DataFrame) -> DataFrame:
     """Project any storage schema onto the contract schema.
 
-    Requires ``doc_id`` and ``tokens``; derives ``n_tok`` (=size(tokens))
-    and ``source`` (='unknown') when the physical table lacks them, and
-    pins the exact types (doc_id string, tokens array<int>, n_tok int)
-    so operator code never branches on storage dialects.
+    Requires ``doc_id`` and ``tokens`` (integral element type — a
+    string/double array would cast to nulls or silently truncate, so it
+    is rejected instead); derives ``n_tok`` (=size(tokens)) and
+    ``source`` (='unknown') when the physical table lacks them, and pins
+    the exact types (doc_id string, tokens array<int>, n_tok int) so
+    operator code never branches on storage dialects.
     """
     cols = set(df.columns)
     missing = {"doc_id", "tokens"} - cols
@@ -61,9 +72,13 @@ def canonicalize_tokens(df: DataFrame) -> DataFrame:
             f"found {sorted(cols)} — expected at least (doc_id, tokens)"
         )
     tok_field = df.schema["tokens"].dataType
-    if not isinstance(tok_field, T.ArrayType):
+    if not isinstance(tok_field, T.ArrayType) or not isinstance(
+        tok_field.elementType, _INTEGRAL_TYPES
+    ):
         raise ValueError(
-            f"tokens column must be array<int>, found {tok_field.simpleString()}"
+            "tokens column must be an integral array (array<int>/bigint/...), "
+            f"found {tok_field.simpleString()} — a non-integral cast would "
+            "null or truncate token values silently"
         )
     n_tok = (
         F.col("n_tok").cast("int")
@@ -76,6 +91,16 @@ def canonicalize_tokens(df: DataFrame) -> DataFrame:
         F.col("tokens").cast("array<int>").alias("tokens"),
         n_tok.alias("n_tok"),
         source.cast("string").alias("source"),
+    )
+
+
+def _runtime_hint(location: str, fmt: str, exc: Exception) -> RuntimeError:
+    return RuntimeError(
+        f"could not read tokens table {location!r} as {fmt}: {exc}\n"
+        "If this is an Iceberg table, launch with the runtime jar, e.g. "
+        "spark-submit --packages "
+        "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version> "
+        "and a configured catalog (spark.sql.catalog.<name>)."
     )
 
 
@@ -93,24 +118,28 @@ def read_tokens(
     ``location`` is either a catalog table name (``cat.db.tokens`` — the
     Iceberg production path) or a parquet directory/file path (the
     sandbox/test path).  ``fmt`` forces ``"table"``, ``"iceberg"`` or
-    ``"parquet"``; by default it is inferred (path separators => parquet).
+    ``"parquet"``; by default it is inferred (path separators, a
+    .parquet suffix, or an existing local path => parquet).
 
-    Time-travel (``snapshot_id`` / ``as_of_timestamp`` / ``branch``) maps
-    to the Iceberg DSv2 read options and is rejected for parquet, which
-    has no snapshot lineage — a silent ignore there would return current
-    data for a historical query.
+    Time-travel: ``snapshot_id``/``branch`` become ``VERSION AS OF`` and
+    ``as_of_timestamp`` (epoch seconds) ``TIMESTAMP AS OF`` on the
+    catalog path — SQL time-travel HARD-FAILS on tables that don't
+    support it, unlike DSv2 reader options which non-Iceberg relations
+    silently drop (returning current data for a historical query).  On
+    the ``iceberg`` format path the equivalent DSv2 options are used.
+    Parquet has no snapshot lineage, so time-travel there is rejected.
     """
+    if fmt not in (None, "parquet", "iceberg", "table"):
+        raise ValueError(
+            f"unknown tokens format {fmt!r}; expected parquet/iceberg/table"
+        )
     fmt = fmt or _infer_fmt(location)
-    travel_args = {
-        "snapshot_id": snapshot_id,
-        "as_of_timestamp": as_of_timestamp,
+    travel = {
+        "snapshot-id": snapshot_id,
+        "as-of-timestamp": as_of_timestamp,
         "branch": branch,
     }
-    travel = {
-        _ICEBERG_TIME_TRAVEL[arg]: val
-        for arg, val in travel_args.items()
-        if val is not None
-    }
+    travel = {k: v for k, v in travel.items() if v is not None}
     if fmt == "parquet":
         if travel:
             raise ValueError(
@@ -119,25 +148,43 @@ def read_tokens(
             )
         return canonicalize_tokens(spark.read.parquet(location))
 
-    reader = spark.read
-    for opt, val in travel.items():
-        reader = reader.option(opt, str(val))
+    if fmt == "table" and travel:
+        if snapshot_id is not None and branch is not None:
+            raise ValueError("snapshot_id and branch are mutually exclusive")
+        if not _TABLE_REF.match(location):
+            raise ValueError(
+                f"not a valid catalog table reference: {location!r}"
+            )
+        if as_of_timestamp is not None:
+            clause = f"TIMESTAMP AS OF {int(as_of_timestamp)}"
+        elif snapshot_id is not None:
+            clause = f"VERSION AS OF {int(snapshot_id)}"
+        else:
+            clause = f"VERSION AS OF '{branch}'"
+        try:
+            df = spark.sql(f"SELECT * FROM {location} FOR {clause}")
+        except Exception as exc:
+            raise _runtime_hint(location, fmt, exc) from exc
+        return canonicalize_tokens(df)
+
     try:
         if fmt == "iceberg":
+            reader = spark.read
+            for opt, val in travel.items():
+                reader = reader.option(opt, str(val))
             df = reader.format("iceberg").load(location)
-        elif fmt == "table":
-            df = reader.table(location)
         else:
-            raise ValueError(f"unknown tokens format {fmt!r}")
-    except Exception as exc:  # surface an actionable message for missing runtime
+            df = spark.read.table(location)
+    except Exception as exc:
         msg = str(exc)
-        if "Failed to find" in msg or "iceberg" in msg.lower():
-            raise RuntimeError(
-                f"could not read tokens table {location!r} as {fmt}: {msg}\n"
-                "If this is an Iceberg table, launch with the runtime jar, "
-                "e.g. spark-submit --packages "
-                "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<version> "
-                "and a configured catalog (spark.sql.catalog.<name>)."
-            ) from exc
+        # only rewrap genuinely runtime-shaped failures (missing data
+        # source class); a TABLE_OR_VIEW_NOT_FOUND for a catalog that
+        # happens to be named 'iceberg' must surface as-is
+        if fmt == "iceberg" and (
+            "Failed to find" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "ClassNotFound" in msg
+        ):
+            raise _runtime_hint(location, fmt, exc) from exc
         raise
     return canonicalize_tokens(df)

@@ -229,6 +229,12 @@ def run_cluster_bench(spark, n_docs: int) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+# effective all-core rates measured by _warmup's calibration probe, in
+# Mrows/s of sum(sqrt(id)); one entry per _warmup call (suite = pipeline
+# warmup + query-bench warmup, so first ~ suite start, last ~ most recent)
+_HOST_PROBE: list = []
+
+
 def _warmup(spark) -> None:
     """Absorb JVM/codegen/Arrow-worker startup outside the timed region —
     the reference does the same at startup (STARTUP_WARMUP_*,
@@ -243,6 +249,28 @@ def _warmup(spark) -> None:
     _pw = F.pandas_udf(lambda s: s * 2.0, "double")
     df.select(_pw("v")).count()
     df.mapInPandas(lambda it: it, "id long, v double").count()
+
+    # Ramp + calibrate the host (untimed).  This sandbox's host runs
+    # all-core work at a clock that swings >5x between windows (burst
+    # scheduling: measured 50M rows/core of sum(sqrt(id)) at 10.8 s,
+    # then 200M rows/core — 4x the work — at 4.1 s immediately after;
+    # identical rollup commands minutes apart spanned 0.98M..8.2M
+    # pts/s).  The ramp moves the governor to its sustained operating
+    # point; the fixed probe that follows then MEASURES the window's
+    # effective all-core rate, which the bench JSON reports as
+    # host_probe_mrows_per_sec so cross-window throughput numbers can
+    # be normalized instead of guessed at (BASELINE.md records the
+    # clean-window reference rate alongside every headline figure).
+    n = spark.sparkContext.defaultParallelism
+    spark.range(n * 60_000_000, numPartitions=n).select(
+        F.sum(F.sqrt(F.col("id").cast("double") + 1.0))
+    ).collect()
+    t0 = time.perf_counter()
+    spark.range(n * 40_000_000, numPartitions=n).select(
+        F.sum(F.sqrt(F.col("id").cast("double") + 1.0))
+    ).collect()
+    dt = time.perf_counter() - t0
+    _HOST_PROBE.append(round(n * 40_000_000 / dt / 1e6, 1))
 
 
 def run_query_bench(
@@ -362,6 +390,13 @@ def main() -> None:
             "value": round(eff, 3),
             "unit": "ratio",
             "points_per_sec": {f"local{lo}": pps_lo, f"local{hi}": pps_hi},
+            # per-level host calibration at the winning run (window
+            # comparability check: a level measured in a throttled
+            # window shows a proportionally lower probe rate)
+            "host_probe_mrows_per_sec": {
+                c: results[c].get("host_probe_mrows_per_sec")
+                for c in (lo, hi)
+            },
             f"{args.kernel}_points": results[hi][f"{args.kernel}_points"],
             "docs": args.docs,
             "repeats_per_level": max(args.scale_repeats, 1),
@@ -383,7 +418,9 @@ def main() -> None:
             pipe = run_cluster_bench(spark, args.docs)
             print(json.dumps({"metric": "cluster_points_per_sec",
                               "value": pipe["cluster_points_per_sec"],
-                              "unit": "points/sec", **pipe}))
+                              "unit": "points/sec",
+                              "host_probe_mrows_per_sec": _HOST_PROBE[-1:],
+                              **pipe}))
             return
         pipe = run_pipeline_bench(
             spark, args.docs, repeats=args.query_repeats,
@@ -392,7 +429,9 @@ def main() -> None:
         if args.pipeline_only:
             print(json.dumps({"metric": "rollup_points_per_sec",
                               "value": pipe["rollup_points_per_sec"],
-                              "unit": "points/sec", **pipe}))
+                              "unit": "points/sec",
+                              "host_probe_mrows_per_sec": _HOST_PROBE[-1:],
+                              **pipe}))
             return
         only = os.environ.get("TSC_BENCH_QUERIES")
         names = only.split(",") if only else BENCH_QUERY_NAMES
@@ -414,6 +453,10 @@ def main() -> None:
             # numbers + repro commands live in BASELINE.md
             "load_avg_1m_at_start": load_start,
             "load_avg_1m_at_end": load1,
+            # measured all-core effective rate at suite start / before
+            # the query block (Mrows/s of sum(sqrt(id)); see _warmup) —
+            # the direct divisor for cross-window normalization
+            "host_probe_mrows_per_sec": _HOST_PROBE,
             "query_repeats": max(args.query_repeats, 1),
             # reference-compatible response stamp (config.jl:17)
             "processingTime": processing_time_s(t_main),

@@ -1954,7 +1954,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_gapfill": q_rollup_gapfill,
         "split_phrases": q_split_phrases,
         "contextual_width": q_contextual_width,
-        "filter_isin": q_filter_isin,
+        # similarity.py's IVF fit became fixed-order (BLAS-stable) late
+        # this round — ann_topk_ivf is the one tail query whose code
+        # changed, so it swaps into the head with filter_isin (native
+        # isin over nation.parquet, r3-green, zero code change anywhere
+        # on its path) taking its tail slot
+        "ann_topk_ivf": q_ann_ivf,
         # text.py changed this round (repetition_stats zero-shuffle
         # rewrite) — every text query moves into the checked head
         "token_stats": q_token_stats,
@@ -1975,7 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (green in r3's driver gate; codecs untouched since their r3 review)
         "codec_roundtrip": q_codec_roundtrip,
         "ann_topk_lsh": q_ann_lsh,
-        "ann_topk_ivf": q_ann_ivf,
+        "filter_isin": q_filter_isin,
         "near_dup_embeddings": q_near_dup_embeddings,
         "cosine_topk": q_cosine_topk,
         "chord_roughness": q_chord_roughness,

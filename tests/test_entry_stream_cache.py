@@ -1,0 +1,57 @@
+"""Stream-source caching must never weaken the streaming-evidence gates.
+
+`__spark_entry__._stream_src` reuses the at-rest file-stream SOURCE
+parquet across invocations but checkpoints/sinks stay fresh per call.
+The failure this guards against: accidentally caching the CHECKPOINT
+would make a second invocation drain zero micro-batches and return an
+empty (or stale) table that a rows-only check might still wave through.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_events_streamed_repeat_invocation_identical(spark):
+    import __spark_entry__ as m
+
+    q = m.queries()["events_hourly_streamed"]
+    first = _sorted_rows(q(spark, SF_DIR))
+    assert first, "streamed aggregation returned no rows"
+    again = _sorted_rows(q(spark, SF_DIR))
+    assert first == again
+
+    # the source dir was reused, not rebuilt
+    key = (os.path.abspath(SF_DIR), "events4")
+    assert key in m._STREAM_SRC_CACHE
+    src = m._STREAM_SRC_CACHE[key]
+    assert os.path.exists(os.path.join(src, "_SUCCESS"))
+
+
+def test_rollup_streamed_repeat_invocation_identical(spark):
+    import __spark_entry__ as m
+
+    q = m.queries()["rollup_tier1_streamed"]
+    first = _sorted_rows(q(spark, SF_DIR))
+    assert first, "streamed rollup returned no rows"
+    assert first == _sorted_rows(q(spark, SF_DIR))
+
+
+def test_stream_src_rebuilds_after_dir_removal(spark):
+    """A deleted cache dir (tmp reaper, test isolation) regenerates."""
+    import shutil
+
+    import __spark_entry__ as m
+
+    q = m.queries()["events_hourly_streamed"]
+    baseline = _sorted_rows(q(spark, SF_DIR))
+    key = (os.path.abspath(SF_DIR), "events4")
+    shutil.rmtree(m._STREAM_SRC_CACHE[key], ignore_errors=True)
+    assert baseline == _sorted_rows(q(spark, SF_DIR))

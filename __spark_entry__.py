@@ -54,22 +54,52 @@ _STREAM_SRC_CACHE: dict = {}
 def _stream_src(sf_dir: str, variant: str, build) -> str:
     """Materialize (once per process) and return the source dir for a
     file-source streaming query.  ``build(src_path)`` writes the parquet
-    files; the directory is registered for atexit cleanup."""
+    files; the directory is registered for atexit cleanup.
+
+    Reuse validates the full data-file snapshot taken at build time, not
+    just ``_SUCCESS`` — a tmp reaper that removed one part file mid-
+    session would otherwise shrink the stream's micro-batch structure
+    silently."""
     import atexit
     import os
     import shutil
     import tempfile
 
     key = (os.path.abspath(sf_dir), variant)
-    src = _STREAM_SRC_CACHE.get(key)
-    if src and os.path.exists(os.path.join(src, "_SUCCESS")):
-        return src
+    cached = _STREAM_SRC_CACHE.get(key)
+    if cached:
+        src, files = cached
+        if all(os.path.exists(os.path.join(src, f)) for f in files):
+            return src
     root = tempfile.mkdtemp(prefix=f"tsc_stream_src_{variant}_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     src = f"{root}/src"
     build(src)
-    _STREAM_SRC_CACHE[key] = src
+    files = sorted(
+        f for f in os.listdir(src)
+        if f.endswith(".parquet") or f == "_SUCCESS"
+    )
+    _STREAM_SRC_CACHE[key] = (src, files)
     return src
+
+
+def _tokens4_src(spark, sf_dir: str) -> str:
+    """Shared 4-file token stream source (q_rollup_tier1_streamed and
+    q_retention_streamed drain the same at-rest table) — one builder so
+    the 'tokens4' cache key can never map to divergent layouts."""
+    return _stream_src(
+        sf_dir,
+        "tokens4",
+        lambda p: _tokens(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.col("tokens").cast("array<int>").alias("tokens"),
+            F.col("n_tok").cast("int").alias("n_tok"),
+            "source",
+        )
+        .repartition(4)
+        .write.parquet(p),
+    )
 
 
 # ----------------------------------------------------------------------
@@ -160,19 +190,7 @@ def q_rollup_tier1_streamed(spark, sf_dir):
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     out, ckpt = f"{root}/out", f"{root}/ckpt"
 
-    src = _stream_src(
-        sf_dir,
-        "tokens4",
-        lambda p: _tokens(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.col("tokens").cast("array<int>").alias("tokens"),
-            F.col("n_tok").cast("int").alias("n_tok"),
-            "source",
-        )
-        .repartition(4)
-        .write.parquet(p),
-    )
+    src = _tokens4_src(spark, sf_dir)
 
     q = (
         stream_rollup(stream_tokens(spark, src, max_files=2), 1)
@@ -218,20 +236,8 @@ def q_retention_streamed(spark, sf_dir):
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     out, ckpt = f"{root}/out", f"{root}/ckpt"
 
-    # same 4-file token source as q_rollup_tier1_streamed (shared cache)
-    src = _stream_src(
-        sf_dir,
-        "tokens4",
-        lambda p: _tokens(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.col("tokens").cast("array<int>").alias("tokens"),
-            F.col("n_tok").cast("int").alias("n_tok"),
-            "source",
-        )
-        .repartition(4)
-        .write.parquet(p),
-    )
+    # same 4-file token source as q_rollup_tier1_streamed (shared builder)
+    src = _tokens4_src(spark, sf_dir)
 
     run_rollup_stream_with_retention(
         spark, src, out, ckpt, tier=1, policy={1: 4}, max_files=2
@@ -1998,12 +2004,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_gapfill": q_rollup_gapfill,
         "split_phrases": q_split_phrases,
         "contextual_width": q_contextual_width,
-        # similarity.py's IVF fit became fixed-order (BLAS-stable) late
-        # this round — ann_topk_ivf is the one tail query whose code
-        # changed, so it swaps into the head with filter_isin (native
-        # isin over nation.parquet, r3-green, zero code change anywhere
-        # on its path) taking its tail slot
+        # operators/similarity.py changed this round (fixed-order
+        # BLAS-stable IVF fit) — the rotation rule is FILE-granular, so
+        # every query on that file holds a head slot, swapping with four
+        # r3-green queries whose files are untouched (filter_isin →
+        # native isin; octave_normalize → kernel/notevol.py;
+        # recency_weights → operators/rollup.py; retention_sweep →
+        # operators/retention.py)
         "ann_topk_ivf": q_ann_ivf,
+        "ann_topk_lsh": q_ann_lsh,
+        "cosine_topk": q_cosine_topk,
+        "near_dup_embeddings": q_near_dup_embeddings,
         # text.py changed this round (repetition_stats zero-shuffle
         # rewrite) — every text query moves into the checked head
         "token_stats": q_token_stats,
@@ -2012,9 +2023,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "repetition_stats": q_repetition_stats,
         "pii_stats": q_pii_stats,
-        "octave_normalize": q_octave_normalize,
-        "recency_weights": q_recency_weights,
-        "retention_sweep": q_retention_sweep,
         "window_matches": q_window_matches,
         "octave_matches": q_octave_matches,
         "normalize_combine": q_normalize_combine,
@@ -2023,10 +2031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec_roundtrip demoted to make room for cluster_timeline_streamed
         # (green in r3's driver gate; codecs untouched since their r3 review)
         "codec_roundtrip": q_codec_roundtrip,
-        "ann_topk_lsh": q_ann_lsh,
         "filter_isin": q_filter_isin,
-        "near_dup_embeddings": q_near_dup_embeddings,
-        "cosine_topk": q_cosine_topk,
+        "octave_normalize": q_octave_normalize,
+        "recency_weights": q_recency_weights,
+        "retention_sweep": q_retention_sweep,
         "chord_roughness": q_chord_roughness,
         "media_stats": q_media_stats,
         "image_features": q_image_features,

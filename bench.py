@@ -392,9 +392,12 @@ def main() -> None:
             "points_per_sec": {f"local{lo}": pps_lo, f"local{hi}": pps_hi},
             # per-level host calibration at the winning run (window
             # comparability check: a level measured in a throttled
-            # window shows a proportionally lower probe rate)
+            # window shows a lower probe rate); keys/shape mirror the
+            # points_per_sec field, None = subprocess warmup failed
             "host_probe_mrows_per_sec": {
-                c: results[c].get("host_probe_mrows_per_sec")
+                f"local{c}": (
+                    (results[c].get("host_probe_mrows_per_sec") or [None])[-1]
+                )
                 for c in (lo, hi)
             },
             f"{args.kernel}_points": results[hi][f"{args.kernel}_points"],

@@ -36,22 +36,24 @@ ROUND_DUE = [
     "note_vol_matches", "stm_interference",
     "token_stats", "quality_scores", "lang_id", "fingerprint",
     "repetition_stats", "pii_stats",
-    # similarity.py's IVF fit became fixed-order (BLAS-stable) late this
-    # round — the one similarity query on changed code moves into the head
-    "ann_topk_ivf",
+    # operators/similarity.py changed this round (fixed-order BLAS-stable
+    # IVF fit); the rule is file-granular, so every similarity query
+    # holds a head slot
+    "ann_topk_ivf", "ann_topk_lsh", "cosine_topk", "near_dup_embeddings",
 ]
 
 # the only queries allowed in the dark tail: driver-green in round 3 AND
 # on files untouched this round (similarity / multimodal / asof /
 # sessionize / sketch / dissonance / codecs / native-SQL)
 ROTATABLE_TAIL = [
-    "ann_topk_lsh", "near_dup_embeddings", "cosine_topk",
     "chord_roughness", "media_stats", "image_features", "asof_join",
     "range_join", "sessionize", "collapse_max", "kmv_distinct",
     "stable_sample", "stable_id", "top_customers",
-    # native isin over nation.parquet, r3-green, zero code change on its
-    # path — demoted to open the head slot ann_topk_ivf now occupies
-    "filter_isin",
+    # r3-green on files untouched this round, demoted to open head slots
+    # for the four similarity.py queries: filter_isin (native isin),
+    # octave_normalize (kernel/notevol.py), recency_weights
+    # (operators/rollup.py), retention_sweep (operators/retention.py)
+    "filter_isin", "octave_normalize", "recency_weights", "retention_sweep",
     # green in r3's driver gate; codecs untouched since their r3 review —
     # demoted to make a head slot for cluster_timeline_streamed
     "codec_roundtrip",

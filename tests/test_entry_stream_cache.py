@@ -28,11 +28,13 @@ def test_events_streamed_repeat_invocation_identical(spark):
     again = _sorted_rows(q(spark, SF_DIR))
     assert first == again
 
-    # the source dir was reused, not rebuilt
+    # the source dir was reused, not rebuilt, and its build-time file
+    # snapshot is intact
     key = (os.path.abspath(SF_DIR), "events4")
     assert key in m._STREAM_SRC_CACHE
-    src = m._STREAM_SRC_CACHE[key]
-    assert os.path.exists(os.path.join(src, "_SUCCESS"))
+    src, files = m._STREAM_SRC_CACHE[key]
+    assert "_SUCCESS" in files
+    assert all(os.path.exists(os.path.join(src, f)) for f in files)
 
 
 def test_rollup_streamed_repeat_invocation_identical(spark):
@@ -53,5 +55,22 @@ def test_stream_src_rebuilds_after_dir_removal(spark):
     q = m.queries()["events_hourly_streamed"]
     baseline = _sorted_rows(q(spark, SF_DIR))
     key = (os.path.abspath(SF_DIR), "events4")
-    shutil.rmtree(m._STREAM_SRC_CACHE[key], ignore_errors=True)
+    src, files = m._STREAM_SRC_CACHE[key]
+    shutil.rmtree(src, ignore_errors=True)
     assert baseline == _sorted_rows(q(spark, SF_DIR))
+
+
+def test_stream_src_rebuilds_after_partial_file_loss(spark):
+    """One deleted part file (tmp reaper) must trigger a rebuild, not a
+    silently truncated stream with fewer micro-batches."""
+    import __spark_entry__ as m
+
+    q = m.queries()["events_hourly_streamed"]
+    baseline = _sorted_rows(q(spark, SF_DIR))
+    key = (os.path.abspath(SF_DIR), "events4")
+    src, files = m._STREAM_SRC_CACHE[key]
+    part = next(f for f in files if f.endswith(".parquet"))
+    os.remove(os.path.join(src, part))
+    assert baseline == _sorted_rows(q(spark, SF_DIR))
+    new_src, _ = m._STREAM_SRC_CACHE[key]
+    assert new_src != src

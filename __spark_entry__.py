@@ -1166,15 +1166,25 @@ def q_events_hourly_streamed(spark, sf_dir):
     )
     _STREAM_QUERY_SEQ[0] += 1
     name = f"tsc_events_hourly_streamed_{_STREAM_QUERY_SEQ[0]}"
-    q = (
-        windowed_event_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # scope the state-store partition count to the small hourly-window
+    # state (same rationale as q_cluster_timeline_streamed: state
+    # partitions = shuffle partitions at first batch; 32 of them is pure
+    # per-micro-batch task overhead for a few-thousand-row aggregation —
+    # production streams keep the session default so state scales out)
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
 
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),

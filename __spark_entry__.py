@@ -1135,9 +1135,6 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM events GROUP BY 1, 2"""
 
 
-_STREAM_QUERY_SEQ = [0]
-
-
 def q_events_hourly_streamed(spark, sf_dir):
     """§2.9 stateful-streaming evidence: the watermarked tumbling-window
     event aggregation (streaming/rollup_stream.windowed_event_counts)
@@ -1164,8 +1161,14 @@ def q_events_hourly_streamed(spark, sf_dir):
         .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
-    _STREAM_QUERY_SEQ[0] += 1
-    name = f"tsc_events_hourly_streamed_{_STREAM_QUERY_SEQ[0]}"
+    # one fixed memory-sink name, dropped before each run: a per-call
+    # unique name would pin every prior invocation's complete-mode
+    # result table in driver memory for the session lifetime (bench
+    # best-of-3 + repeat-invocation tests = unbounded growth).  The
+    # prior stream has always terminated (availableNow+await), and the
+    # returned DataFrame is consumed before any re-invocation.
+    name = "tsc_events_hourly_streamed"
+    spark.catalog.dropTempView(name)
     # scope the state-store partition count to the small hourly-window
     # state (same rationale as q_cluster_timeline_streamed: state
     # partitions = shuffle partitions at first batch; 32 of them is pure

@@ -377,6 +377,12 @@ def main() -> None:
                     capture_output=True, text=True,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
+                # surface subprocess warnings (e.g. a stale --corpus-dir
+                # of a different size) instead of swallowing them with
+                # the captured stderr
+                for wline in proc.stderr.splitlines():
+                    if wline.startswith("# WARNING"):
+                        print(wline, file=sys.stderr)
                 line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
                 rec = json.loads(line)
                 if best is None or rec[key] > best[key]:
@@ -401,7 +407,10 @@ def main() -> None:
                 for c in (lo, hi)
             },
             f"{args.kernel}_points": results[hi][f"{args.kernel}_points"],
-            "docs": args.docs,
+            # the ACTUAL benched corpus size as reported by the winning
+            # subprocess — a stale --corpus-dir of a different size must
+            # not be recorded under the requested --docs label
+            "docs": results[hi].get(f"{args.kernel}_docs", args.docs),
             "repeats_per_level": max(args.scale_repeats, 1),
         }))
         return

@@ -36,7 +36,8 @@ def main() -> None:
     ap.add_argument("--snapshot-id", type=int, default=None,
                     help="Iceberg time-travel: read this snapshot of --input")
     ap.add_argument("--as-of-timestamp", type=int, default=None,
-                    help="Iceberg time-travel: read --input as of this epoch-ms")
+                    help="Iceberg time-travel: read --input as of this epoch-"
+                         "SECONDS instant (converted internally per path)")
     ap.add_argument("--synth-docs", type=int, default=0,
                     help="generate a deterministic synthetic corpus instead of --input")
     ap.add_argument("--base-dir", required=True)

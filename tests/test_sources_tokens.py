@@ -105,3 +105,53 @@ def test_bare_existing_dir_inferred_as_parquet(spark, tmp_path, monkeypatch):
     from tsc_spark.sources.tokens import _infer_fmt
 
     assert _infer_fmt("tokens_data") == "parquet"
+
+
+def test_conflicting_time_travel_selectors_rejected(spark):
+    # picking a winner would silently ignore the others (branch +
+    # timestamp reading MAIN's history instead of the branch)
+    for kwargs in (
+        dict(snapshot_id=1, branch="audit"),
+        dict(snapshot_id=1, as_of_timestamp=1_723_900_000),
+        dict(branch="audit", as_of_timestamp=1_723_900_000),
+    ):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            read_tokens(spark, "cat.db.tokens", **kwargs)
+
+
+def test_branch_name_validated_before_sql_splice(spark):
+    # the branch lands inside a single-quoted SQL literal; a quote-bearing
+    # name must be rejected, never spliced
+    with pytest.raises(ValueError, match="branch"):
+        read_tokens(spark, "cat.db.tokens", branch="x' -- ")
+
+
+def test_as_of_timestamp_converted_to_ms_on_dsv2_path():
+    # the public parameter is epoch-seconds everywhere; Iceberg's DSv2
+    # reader option is epoch-milliseconds — read_tokens must convert (a
+    # unit mismatch silently time-travels to the wrong snapshot: a
+    # "future" instant resolves to the latest snapshot)
+    captured = {}
+
+    class _Reader:
+        def option(self, k, v):
+            captured[k] = v
+            return self
+
+        def format(self, f):
+            captured["format"] = f
+            return self
+
+        def load(self, loc):
+            raise RuntimeError("stop-after-capture")
+
+    class _FakeSpark:
+        read = _Reader()
+
+    with pytest.raises(RuntimeError, match="stop-after-capture"):
+        read_tokens(
+            _FakeSpark(), "cat.db.tokens", fmt="iceberg",
+            as_of_timestamp=1_723_900_000,
+        )
+    assert captured["as-of-timestamp"] == str(1_723_900_000 * 1000)
+    assert captured["format"] == "iceberg"

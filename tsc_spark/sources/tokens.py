@@ -122,12 +122,15 @@ def read_tokens(
     .parquet suffix, or an existing local path => parquet).
 
     Time-travel: ``snapshot_id``/``branch`` become ``VERSION AS OF`` and
-    ``as_of_timestamp`` (epoch seconds) ``TIMESTAMP AS OF`` on the
+    ``as_of_timestamp`` (epoch SECONDS on every path; the DSv2 option is
+    milliseconds and is converted internally) ``TIMESTAMP AS OF`` on the
     catalog path — SQL time-travel HARD-FAILS on tables that don't
     support it, unlike DSv2 reader options which non-Iceberg relations
     silently drop (returning current data for a historical query).  On
     the ``iceberg`` format path the equivalent DSv2 options are used.
     Parquet has no snapshot lineage, so time-travel there is rejected.
+    The three selectors are mutually exclusive — a silently-ignored
+    selector would read a different snapshot than the caller asked for.
     """
     if fmt not in (None, "parquet", "iceberg", "table"):
         raise ValueError(
@@ -135,11 +138,27 @@ def read_tokens(
         )
     fmt = fmt or _infer_fmt(location)
     travel = {
-        "snapshot-id": snapshot_id,
-        "as-of-timestamp": as_of_timestamp,
+        "snapshot-id": None if snapshot_id is None else int(snapshot_id),
+        # the DSv2 reader option takes epoch-MILLISECONDS; the public
+        # parameter is epoch-seconds everywhere (matching the SQL
+        # `TIMESTAMP AS OF <seconds>` cast), so convert here — a unit
+        # mismatch between the two paths silently time-travels to the
+        # wrong snapshot (a future instant resolves to "latest")
+        "as-of-timestamp": (
+            None if as_of_timestamp is None else int(as_of_timestamp) * 1000
+        ),
         "branch": branch,
     }
     travel = {k: v for k, v in travel.items() if v is not None}
+    if len(travel) > 1:
+        # Spark's SQL grammar takes exactly one AS OF clause; picking a
+        # winner would silently ignore the others (e.g. branch +
+        # as_of_timestamp reading MAIN's history instead of the branch)
+        raise ValueError(
+            f"time-travel selectors are mutually exclusive, got {sorted(travel)}"
+        )
+    if branch is not None and not re.fullmatch(r"[A-Za-z0-9._\-]+", branch):
+        raise ValueError(f"not a valid Iceberg branch name: {branch!r}")
     if fmt == "parquet":
         if travel:
             raise ValueError(
@@ -149,8 +168,6 @@ def read_tokens(
         return canonicalize_tokens(spark.read.parquet(location))
 
     if fmt == "table" and travel:
-        if snapshot_id is not None and branch is not None:
-            raise ValueError("snapshot_id and branch are mutually exclusive")
         if not _TABLE_REF.match(location):
             raise ValueError(
                 f"not a valid catalog table reference: {location!r}"

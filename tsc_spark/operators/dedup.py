@@ -96,8 +96,16 @@ def ngram_jaccard_pairs(
     quadratic in its document frequency while it carries no dedup signal
     (standard stop-shingle practice).  The cap bounds any single join
     key's output at max_doc_freq² regardless of corpus size.  Pass
-    ``None`` for the exact uncapped semantics."""
-    sh = shingles(docs, n)
+    ``None`` for the exact uncapped semantics.
+
+    The shingle table is MATERIALIZED (lazy localCheckpoint) before use:
+    it is consumed up to 4× (posting-list DF count, per-doc sizes, both
+    sides of the intersection join), and without materialization each
+    consumer re-executes the docs-scan → explode → distinct subtree —
+    4 corpus scans instead of 1 at 100 TB.  The downstream anti-join /
+    sizes / join passes then all read the checkpointed partitions
+    (zero file scans in the final plan; tests/test_plan_reuse.py)."""
+    sh = shingles(docs, n).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         # the hot set is tiny at any scale (few shingles exceed the cap),
         # so the anti-join broadcasts
@@ -175,6 +183,11 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    # materialize the banded table before the self-join: both join sides
+    # otherwise re-execute the shingle → minhash-groupBy subtree (2 full
+    # corpus scans); the banded table is docs × bands rows — tiny — so
+    # checkpointing it is strictly cheaper than one extra corpus pass
+    stacked = stacked.localCheckpoint(eager=False)
     return (
         stacked.alias("a")
         .join(stacked.alias("b"), ["band", "bucket"])

@@ -56,30 +56,36 @@ def _stream_src(sf_dir: str, variant: str, build) -> str:
     file-source streaming query.  ``build(src_path)`` writes the parquet
     files; the directory is registered for atexit cleanup.
 
-    Reuse validates the full data-file snapshot taken at build time, not
-    just ``_SUCCESS`` — a tmp reaper that removed one part file mid-
-    session would otherwise shrink the stream's micro-batch structure
-    silently."""
+    Reuse validates the full (name, size) data-file snapshot taken at
+    build time, not just ``_SUCCESS`` or bare existence — a tmp reaper
+    that removed OR truncated a part file mid-session would otherwise
+    shrink the stream's micro-batch structure (or its data) silently."""
     import atexit
     import os
     import shutil
     import tempfile
 
+    def _snapshot(path: str) -> list[tuple[str, int]]:
+        return sorted(
+            (f, os.path.getsize(os.path.join(path, f)))
+            for f in os.listdir(path)
+            if f.endswith(".parquet") or f == "_SUCCESS"
+        )
+
     key = (os.path.abspath(sf_dir), variant)
     cached = _STREAM_SRC_CACHE.get(key)
     if cached:
         src, files = cached
-        if all(os.path.exists(os.path.join(src, f)) for f in files):
-            return src
+        try:
+            if _snapshot(src) == files:
+                return src
+        except OSError:
+            pass  # dir vanished — rebuild below
     root = tempfile.mkdtemp(prefix=f"tsc_stream_src_{variant}_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     src = f"{root}/src"
     build(src)
-    files = sorted(
-        f for f in os.listdir(src)
-        if f.endswith(".parquet") or f == "_SUCCESS"
-    )
-    _STREAM_SRC_CACHE[key] = (src, files)
+    _STREAM_SRC_CACHE[key] = (src, _snapshot(src))
     return src
 
 
@@ -1189,12 +1195,24 @@ def q_events_hourly_streamed(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
 
-    return spark.table(name).select(
+    # materialize the complete-mode result to a per-call parquet dir and
+    # return a read of THAT: the memory-sink view is re-created by the
+    # next invocation, so a lazy DataFrame bound to it would silently
+    # read the newer run's data (e.g. a different sf_dir) if held across
+    # calls — the returned frame must be immutable
+    import atexit
+    import shutil
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="tsc_events_hourly_snap_")
+    atexit.register(shutil.rmtree, snap, ignore_errors=True)
+    spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n_events",
         F.round("total_value", 6).alias("total_value"),
-    )
+    ).write.mode("overwrite").parquet(snap)
+    return spark.read.parquet(snap)
 
 
 def q_corr(spark, sf_dir):

@@ -28,13 +28,16 @@ def test_events_streamed_repeat_invocation_identical(spark):
     again = _sorted_rows(q(spark, SF_DIR))
     assert first == again
 
-    # the source dir was reused, not rebuilt, and its build-time file
-    # snapshot is intact
+    # the source dir was reused, not rebuilt, and its build-time
+    # (name, size) snapshot is intact
     key = (os.path.abspath(SF_DIR), "events4")
     assert key in m._STREAM_SRC_CACHE
     src, files = m._STREAM_SRC_CACHE[key]
-    assert "_SUCCESS" in files
-    assert all(os.path.exists(os.path.join(src, f)) for f in files)
+    assert "_SUCCESS" in {name for name, _ in files}
+    assert all(
+        os.path.getsize(os.path.join(src, name)) == size
+        for name, size in files
+    )
 
 
 def test_rollup_streamed_repeat_invocation_identical(spark):
@@ -69,8 +72,25 @@ def test_stream_src_rebuilds_after_partial_file_loss(spark):
     baseline = _sorted_rows(q(spark, SF_DIR))
     key = (os.path.abspath(SF_DIR), "events4")
     src, files = m._STREAM_SRC_CACHE[key]
-    part = next(f for f in files if f.endswith(".parquet"))
+    part = next(name for name, _ in files if name.endswith(".parquet"))
     os.remove(os.path.join(src, part))
+    assert baseline == _sorted_rows(q(spark, SF_DIR))
+    new_src, _ = m._STREAM_SRC_CACHE[key]
+    assert new_src != src
+
+
+def test_stream_src_rebuilds_after_truncation(spark):
+    """A TRUNCATED part file (same name, fewer bytes — the reaper threat
+    bare-existence validation waves through) must trigger a rebuild."""
+    import __spark_entry__ as m
+
+    q = m.queries()["events_hourly_streamed"]
+    baseline = _sorted_rows(q(spark, SF_DIR))
+    key = (os.path.abspath(SF_DIR), "events4")
+    src, files = m._STREAM_SRC_CACHE[key]
+    part = next(name for name, _ in files if name.endswith(".parquet"))
+    with open(os.path.join(src, part), "w") as fh:
+        fh.write("")
     assert baseline == _sorted_rows(q(spark, SF_DIR))
     new_src, _ = m._STREAM_SRC_CACHE[key]
     assert new_src != src

@@ -30,6 +30,25 @@ def test_canonicalize_derives_missing_columns(spark, tmp_path):
     assert out.schema["tokens"].dataType.simpleString() == "array<int>"
 
 
+def test_canonicalize_bigint_overflow_raises_not_wraps(spark):
+    # with ANSI off, a plain bigint->int cast silently WRAPS 2^31+5 to a
+    # negative token — the guard must raise instead (and pass values in
+    # range untouched, incl. the exact boundaries)
+    ok = canonicalize_tokens(
+        spark.createDataFrame(
+            [("a", [2**31 - 1, -(2**31), 7])], "doc_id string, tokens array<bigint>"
+        )
+    )
+    assert ok.collect()[0].tokens == [2**31 - 1, -(2**31), 7]
+    bad = canonicalize_tokens(
+        spark.createDataFrame(
+            [("a", [2**31 + 5])], "doc_id string, tokens array<bigint>"
+        )
+    )
+    with pytest.raises(Exception, match="out of int32 range"):
+        bad.collect()
+
+
 def test_canonicalize_rejects_missing_tokens(spark):
     df = spark.createDataFrame([("a",)], "doc_id string")
     with pytest.raises(ValueError, match="missing required column"):
@@ -93,7 +112,7 @@ def test_table_time_travel_hard_fails_on_non_iceberg(spark):
         read_tokens(spark, "toks_tt_view", snapshot_id=1)
 
 
-def test_bare_existing_dir_inferred_as_parquet(spark, tmp_path, monkeypatch):
+def test_bare_existing_dir_inference(spark, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     spark.createDataFrame(
         [("d1", [1, 2], 2, "s")],
@@ -101,10 +120,23 @@ def test_bare_existing_dir_inferred_as_parquet(spark, tmp_path, monkeypatch):
     ).write.parquet(str(tmp_path / "tokens_data"))
     out = read_tokens(spark, str(tmp_path / "tokens_data"))
     assert out.count() == 1
-    # and the separator-free relative form resolves via os.path.exists
     from tsc_spark.sources.tokens import _infer_fmt
 
-    assert _infer_fmt("tokens_data") == "parquet"
+    # a separator-free name that parses as a catalog table reference AND
+    # exists locally is AMBIGUOUS — silently preferring the local dir
+    # would shadow a same-named catalog table, so inference refuses and
+    # the caller disambiguates with fmt=
+    with pytest.raises(ValueError, match="ambiguous"):
+        _infer_fmt("tokens_data")
+    with pytest.raises(ValueError, match="ambiguous"):
+        read_tokens(spark, "tokens_data")
+    # a name that is NOT a valid table reference still resolves by path
+    # (the JVM's cwd differs from the monkeypatched Python cwd, so only
+    # the inference — driver-local os.path — is assertable here)
+    import shutil
+
+    shutil.copytree(str(tmp_path / "tokens_data"), str(tmp_path / "tok data"))
+    assert _infer_fmt("tok data") == "parquet"
 
 
 def test_conflicting_time_travel_selectors_rejected(spark):

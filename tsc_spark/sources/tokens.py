@@ -41,15 +41,21 @@ _TABLE_REF = re.compile(r"^(`[^`]+`|\w+)(\.(`[^`]+`|\w+))*$")
 
 
 def _infer_fmt(location: str) -> str:
-    # a filesystem path (has a separator, a parquet suffix, or actually
-    # exists locally — covers bare relative directories) is parquet;
-    # anything else is a catalog table name like `cat.db.tokens`
-    if (
-        "/" in location
-        or "\\" in location
-        or location.endswith(".parquet")
-        or os.path.exists(location)
-    ):
+    # a filesystem path (separator or parquet suffix) is parquet;
+    # anything else is a catalog table name like `cat.db.tokens`.  A
+    # bare name that BOTH parses as a table reference AND exists on the
+    # driver-local filesystem is ambiguous — silently preferring the
+    # local path would shadow a catalog table with whatever file happens
+    # to share its name, so the caller must disambiguate via fmt=.
+    if "/" in location or "\\" in location or location.endswith(".parquet"):
+        return "parquet"
+    if os.path.exists(location):
+        if _TABLE_REF.match(location):
+            raise ValueError(
+                f"ambiguous tokens location {location!r}: it is a valid "
+                "catalog table reference AND an existing local path — "
+                "pass fmt='table' or fmt='parquet' explicitly"
+            )
         return "parquet"
     return "table"
 
@@ -86,9 +92,30 @@ def canonicalize_tokens(df: DataFrame) -> DataFrame:
         else F.size("tokens")
     )
     source = F.col("source") if "source" in cols else F.lit("unknown")
+    if isinstance(tok_field.elementType, T.LongType):
+        # with ANSI mode off, bigint→int silently WRAPS values above
+        # 2^31-1 — the exact truncation this function's integral-type
+        # check exists to prevent.  Guard each element: out-of-range
+        # raises instead of wrapping (tokens are vocab indices, so real
+        # values are far below the bound and the branch never fires).
+        lo, hi = -(2**31), 2**31 - 1
+        tokens_col = F.transform(
+            F.col("tokens"),
+            lambda x: F.when(
+                (x < F.lit(lo)) | (x > F.lit(hi)),
+                F.raise_error(
+                    F.concat(
+                        F.lit("token value out of int32 range: "),
+                        x.cast("string"),
+                    )
+                ).cast("int"),
+            ).otherwise(x.cast("int")),
+        )
+    else:
+        tokens_col = F.col("tokens").cast("array<int>")
     return df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.col("tokens").cast("array<int>").alias("tokens"),
+        tokens_col.alias("tokens"),
         n_tok.alias("n_tok"),
         source.cast("string").alias("source"),
     )

@@ -74,6 +74,22 @@ def test_bucketed_join_values_match_shuffled_join(spark, bucketed_tables, tokens
     assert got == want
 
 
+def test_driver_bucketed_query_plan(spark, no_broadcast):
+    """The driver-checked bucketed_rollup_join query (its VALUES are
+    oracle-gated by the driver) keeps the zero-Exchange plan property:
+    after one invocation, the same-bucket-count doc_id join it runs is
+    co-located."""
+    import __spark_entry__ as m
+
+    out = m.queries()["bucketed_rollup_join"](spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    joined = bucketed_join(spark, "tsc_bq_tokens", "tsc_bq_rollup")
+    joined.collect()
+    assert plan_exchanges(joined) == 0, (
+        joined._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     """Aggregation on the bucket key also rides the persisted
     partitioning — per-doc rollups over a bucketed corpus never

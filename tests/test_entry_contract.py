@@ -15,48 +15,41 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# queries that MUST hold a first-50 slot this round: the 12 dark in the
-# round-3 driver gate, the new streaming-evidence query, and every query
-# whose implementation changed this round (matching / dedup / kernel)
+# queries that MUST hold a first-50 slot this round (round 5): the 16
+# dark in the round-4 driver gate (the r4 verdict's rotation list), the
+# new bucketed-join evidence query, and every query whose implementation
+# changed this round (operators/matching.py grouped containment filter,
+# operators/dedup.py checkpointed self-join inputs, the entry file's
+# stream-source snapshot + events materialization)
 ROUND_DUE = [
-    # dark in round 3 — rotated in
-    "rollup_locf", "normalized_scores", "topk_longest", "source_counts",
-    "minhash_signatures", "retention_plan", "adjacent_roughness",
-    "video_frames", "pricing_summary", "suppliers_by_region",
-    "events_hourly", "corr_qty_price",
+    # dark in round 4 — rotated in
+    "codec_roundtrip", "filter_isin", "octave_normalize", "recency_weights",
+    "retention_sweep", "chord_roughness", "media_stats", "image_features",
+    "asof_join", "range_join", "sessionize", "collapse_max", "kmv_distinct",
+    "stable_sample", "stable_id", "top_customers",
     # new this round
+    "bucketed_rollup_join",
+    # operators/matching.py changed
+    "window_matches", "octave_matches", "query_matches", "match_scores",
+    "note_vol_matches", "stm_interference",
+    # operators/dedup.py changed
+    "lsh_dedup_pairs", "dedup_groups", "ngram_jaccard",
+    "minhash_signatures", "simhash", "exact_dups", "decontaminate",
+    # entry-file stream plumbing changed
     "rollup_tier1_streamed", "events_hourly_streamed", "retention_streamed",
     "cluster_timeline_streamed",
-    # changed-code queries (operators/matching.py, operators/dedup.py,
-    # operators/text.py, kernel/manager.py, kernel/matching.py)
-    "window_matches", "octave_matches", "exact_dups", "decontaminate",
-    "ngram_jaccard", "simhash", "lsh_dedup_pairs", "dedup_groups",
-    "query_matches", "match_scores", "cluster_timeline",
-    "cluster_timeline_poly", "cluster_tree", "generate", "generate_poly",
-    "note_vol_matches", "stm_interference",
-    "token_stats", "quality_scores", "lang_id", "fingerprint",
-    "repetition_stats", "pii_stats",
-    # operators/similarity.py changed this round (fixed-order BLAS-stable
-    # IVF fit); the rule is file-granular, so every similarity query
-    # holds a head slot
-    "ann_topk_ivf", "ann_topk_lsh", "cosine_topk", "near_dup_embeddings",
 ]
 
-# the only queries allowed in the dark tail: driver-green in round 3 AND
-# on files untouched this round (similarity / multimodal / asof /
-# sessionize / sketch / dissonance / codecs / native-SQL)
+# the only queries allowed in the dark tail: driver-green in round 4 AND
+# on files untouched this round (similarity / text / sketch-native /
+# dissonance-native / native-SQL paths)
 ROTATABLE_TAIL = [
-    "chord_roughness", "media_stats", "image_features", "asof_join",
-    "range_join", "sessionize", "collapse_max", "kmv_distinct",
-    "stable_sample", "stable_id", "top_customers",
-    # r3-green on files untouched this round, demoted to open head slots
-    # for the four similarity.py queries: filter_isin (native isin),
-    # octave_normalize (kernel/notevol.py), recency_weights
-    # (operators/rollup.py), retention_sweep (operators/retention.py)
-    "filter_isin", "octave_normalize", "recency_weights", "retention_sweep",
-    # green in r3's driver gate; codecs untouched since their r3 review —
-    # demoted to make a head slot for cluster_timeline_streamed
-    "codec_roundtrip",
+    "normalized_scores", "topk_longest", "source_counts",
+    "adjacent_roughness", "video_frames", "pricing_summary",
+    "suppliers_by_region", "events_hourly", "corr_qty_price",
+    "ann_topk_ivf", "ann_topk_lsh", "cosine_topk",
+    "quality_scores", "lang_id", "fingerprint", "repetition_stats",
+    "pii_stats",
 ]
 
 

@@ -229,6 +229,115 @@ def run_cluster_bench(spark, n_docs: int) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def run_skew_bench(
+    spark, n_docs: int = 20_000, heavy_docs: int = 16, heavy_len: int = 8_192
+) -> dict:
+    """Adversarial-skew datapoint: the clustering kernel over a corpus
+    where a handful of 10⁴-token heavy hitters dominate total cost
+    (kernel cost ~quadratic in length), measured under BOTH partitioning
+    strategies on the identical at-rest input:
+
+      * ``balanced``   — balance_for_kernel: heavy docs isolated
+        round-robin, one per partition (the engine's default path)
+      * ``hash_only``  — plain hash(doc_id) co-location, the naive
+        layout where heavy keys collide and build a straggler tail
+
+    Per-partition kernel seconds are measured INSIDE the mapInPandas
+    stage, so the straggler tail (max vs median partition) is reported
+    directly, not inferred from wall clock."""
+    from pyspark.sql import functions as F
+
+    from tsc_spark.operators.clustering import balance_for_kernel
+    from tsc_spark.sources.synth import synth_tokens_skewed
+
+    parallelism = spark.sparkContext.defaultParallelism
+    workdir = tempfile.mkdtemp(prefix="tsc_skew_")
+    try:
+        corpus = os.path.join(workdir, "tokens")
+        synth_tokens_skewed(
+            spark, n_docs, heavy_docs=heavy_docs, heavy_len=heavy_len
+        ).write.mode("overwrite").parquet(corpus)
+        toks = spark.read.parquet(corpus)
+
+        def kernel_partition_secs(df):
+            """Run the real clustering kernel; one timing row per task."""
+
+            def run(batches):
+                import pandas as pd
+
+                from tsc_spark.kernel.api import analyse_tokens
+
+                t0 = time.perf_counter()
+                n = 0
+                for pdf in batches:
+                    for toks_arr in pdf["tokens"]:
+                        mgr = analyse_tokens(toks_arr, 0.3, 1.0)
+                        mgr.timeline()
+                        n += 1
+                yield pd.DataFrame(
+                    {"secs": [time.perf_counter() - t0], "docs": [n]}
+                )
+
+            return df.select("tokens").mapInPandas(run, "secs double, docs long")
+
+        try:
+            _warmup(spark)
+        except Exception as e:
+            print(f"# skew warmup failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        out: dict = {
+            "skew_docs": n_docs,
+            "skew_heavy_docs": heavy_docs,
+            "skew_heavy_len": heavy_len,
+        }
+        for label, part in (
+            ("balanced", lambda d: balance_for_kernel(d, parallelism)),
+            ("hash_only", lambda d: d.repartition(parallelism, "doc_id")),
+        ):
+            t0 = time.perf_counter()
+            rows = kernel_partition_secs(part(toks)).collect()
+            wall = time.perf_counter() - t0
+            secs = sorted(r["secs"] for r in rows)
+            mid = secs[len(secs) // 2]
+            out[f"skew_{label}_wall_sec"] = round(wall, 3)
+            out[f"skew_{label}_max_task_sec"] = round(secs[-1], 3)
+            out[f"skew_{label}_median_task_sec"] = round(mid, 3)
+            out[f"skew_{label}_straggler_ratio"] = round(
+                secs[-1] / mid, 2
+            ) if mid > 0 else None
+        out["skew_balanced_speedup"] = round(
+            out["skew_hash_only_wall_sec"] / out["skew_balanced_wall_sec"], 2
+        )
+        return out
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def run_ann_recall(spark, sf_dir: str) -> dict:
+    """Measured recall@10 of the approximate similarity paths against
+    the exact brute-force top-k on the same embeddings — emitted next to
+    their times so the recall-vs-speed trade stays monitored as corpora
+    grow (the r3 near-dup fix traded recall for bounded candidates)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    def top_ids(name):
+        return {r["vec_id"] for r in qs[name](spark, sf_dir).collect()}
+
+    try:
+        exact = top_ids("cosine_topk")
+        return {
+            "recall_at_10": {
+                name: round(len(top_ids(name) & exact) / max(len(exact), 1), 2)
+                for name in ("ann_topk_lsh", "ann_topk_ivf")
+            }
+        }
+    except Exception as e:
+        print(f"# ann recall failed: {type(e).__name__}: {e}", file=sys.stderr)
+        return {"recall_at_10": None}
+
+
 # effective all-core rates measured by _warmup's calibration probe, in
 # Mrows/s of sum(sqrt(id)); one entry per _warmup call (suite = pipeline
 # warmup + query-bench warmup, so first ~ suite start, last ~ most recent)
@@ -448,6 +557,19 @@ def main() -> None:
         only = os.environ.get("TSC_BENCH_QUERIES")
         names = only.split(",") if only else BENCH_QUERY_NAMES
         queries = run_query_bench(spark, sf_dir, names, repeats=args.query_repeats)
+        # standing adversarial-skew + ANN-recall figures (skippable for
+        # focussed query runs via TSC_BENCH_QUERIES / TSC_BENCH_NO_SKEW)
+        extras: dict = {}
+        if not only and not os.environ.get("TSC_BENCH_NO_SKEW"):
+            try:
+                extras.update(run_skew_bench(
+                    spark,
+                    n_docs=int(os.environ.get("TSC_BENCH_SKEW_DOCS", "20000")),
+                ))
+            except Exception as e:
+                print(f"# skew bench failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+            extras.update(run_ann_recall(spark, sf_dir))
         total = round(sum(v for v in queries.values() if v > 0) + pipe["rollup_sec"], 3)
         try:
             load1 = round(os.getloadavg()[0], 1)
@@ -473,6 +595,7 @@ def main() -> None:
             # reference-compatible response stamp (config.jl:17)
             "processingTime": processing_time_s(t_main),
             **pipe,
+            **extras,
         }))
     finally:
         spark.stop()

@@ -151,3 +151,18 @@ def test_octave_matches_skew_cap_bounds_pairs(spark):
     ).count()
     assert uncapped == 37 * 36 // 2
     assert capped == 8 * 7 // 2
+
+
+def test_synth_tokens_skewed_parallelism_invariant(spark):
+    """The skew-bench corpus must be bit-identical at any partitioning —
+    the property that makes the balanced-vs-hash comparison a controlled
+    experiment (same input, only the partitioning varies)."""
+    from tsc_spark.sources.synth import synth_tokens_skewed
+
+    a = synth_tokens_skewed(spark, 300, heavy_docs=4, heavy_len=64, partitions=2)
+    b = synth_tokens_skewed(spark, 300, heavy_docs=4, heavy_len=64, partitions=7)
+    ra = sorted((r.doc_id, list(r.tokens), r.n_tok, r.source) for r in a.collect())
+    rb = sorted((r.doc_id, list(r.tokens), r.n_tok, r.source) for r in b.collect())
+    assert ra == rb
+    heavy = [r for r in ra if r[3] == "heavy"]
+    assert len(heavy) == 4 and all(r[2] == 64 for r in heavy)

@@ -2,6 +2,7 @@ from .synth import (
     EDGE_DOCS,
     synth_tokens,
     synth_tokens_distributed,
+    synth_tokens_skewed,
     synth_tokens_table,
 )
 from .tokens import TOKENS_COLUMNS, canonicalize_tokens, read_tokens
@@ -13,5 +14,6 @@ __all__ = [
     "read_tokens",
     "synth_tokens",
     "synth_tokens_distributed",
+    "synth_tokens_skewed",
     "synth_tokens_table",
 ]

@@ -317,8 +317,24 @@ def run_ann_recall(spark, sf_dir: str) -> dict:
     """Measured recall@10 of the approximate similarity paths against
     the exact brute-force top-k on the same embeddings — emitted next to
     their times so the recall-vs-speed trade stays monitored as corpora
-    grow (the r3 near-dup fix traded recall for bounded candidates)."""
+    grow (the r3 near-dup fix traded recall for bounded candidates).
+
+    Also emits the measured candidate scan fraction each method touched
+    (probed LSH buckets / probed IVF lists over the full corpus): on
+    near-isotropic synthetic embeddings recall is bounded by scan
+    fraction, so recall alone under-reads the methods — the pair
+    (recall, scan_frac) is the actual quality figure (lift over a random
+    scan of the same fraction)."""
     import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from tsc_spark.operators.similarity import (
+        hyperplane_buckets,
+        ivf_assign,
+        ivf_fit_centroids,
+        ivf_probe_lists,
+        lsh_probe_set,
+    )
 
     qs = entry_mod.queries()
 
@@ -327,12 +343,43 @@ def run_ann_recall(spark, sf_dir: str) -> dict:
 
     try:
         exact = top_ids("cosine_topk")
-        return {
+        out = {
             "recall_at_10": {
                 name: round(len(top_ids(name) & exact) / max(len(exact), 1), 2)
                 for name in ("ann_topk_lsh", "ann_topk_ivf")
             }
         }
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [
+            float(v)
+            for v in emb.filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0][0]
+        ]
+        dim = len(qv)
+        base = emb.filter(
+            (F.col("vec_id") != 0) & F.col("embedding").isNotNull()
+        ).cache()
+        try:
+            total = base.count()
+            lsh_cand = (
+                hyperplane_buckets(base, dim, 8, seed=7)
+                .filter(F.col("bucket").isin(lsh_probe_set(qv, dim)))
+                .count()
+            )
+            cents = ivf_fit_centroids(base, dim)
+            ivf_cand = (
+                ivf_assign(base, cents)
+                .filter(F.col("ivf_list").isin(ivf_probe_lists(qv, cents)))
+                .count()
+            )
+            out["ann_scan_frac"] = {
+                "ann_topk_lsh": round(lsh_cand / max(total, 1), 3),
+                "ann_topk_ivf": round(ivf_cand / max(total, 1), 3),
+            }
+        finally:
+            base.unpersist()
+        return out
     except Exception as e:
         print(f"# ann recall failed: {type(e).__name__}: {e}", file=sys.stderr)
         return {"recall_at_10": None}

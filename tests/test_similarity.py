@@ -472,3 +472,49 @@ def test_ann_lsh_measured_recall_planted(spark):
     assert set(range(1000, 1005)) <= set(got_ids)
     exact = [r.vec_id for r in cosine_topk(emb, query.tolist(), k=5).collect()]
     assert got_ids[:5] == exact
+
+
+def test_lsh_probe_set_enumerates_hamming_ball(query_vec):
+    """The exposed probe-set helper (bench measures scan fraction with
+    it) must enumerate exactly the Hamming ball: own bucket + C(8,1) +
+    C(8,2) = 37 distinct buckets, all within radius 2 of the center."""
+    from tsc_spark.operators.similarity import lsh_probe_set
+
+    probes = lsh_probe_set(query_vec, dim=len(query_vec))
+    assert len(probes) == 37
+    assert len(set(probes)) == 37
+    center = probes[0]
+    assert all(bin(p ^ center).count("1") <= 2 for p in probes)
+    assert all(0 <= p < 256 for p in probes)
+
+
+def test_ivf_probe_lists_matches_topk_path(emb_df, query_vec):
+    """ivf_probe_lists (exposed for the bench scan-fraction figure) must
+    pick exactly the lists ivf_topk scans: the nprobe nearest centroids,
+    deterministic across calls."""
+    from tsc_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit_centroids,
+        ivf_probe_lists,
+        ivf_topk,
+    )
+
+    base = emb_df.filter(F.col("vec_id") != 0)
+    cents = ivf_fit_centroids(base, dim=len(query_vec))
+    lists = ivf_probe_lists(query_vec, cents)
+    assert lists == ivf_probe_lists(query_vec, cents)
+    assert len(lists) == 4 and len(set(lists)) == 4
+    assert all(0 <= p < cents.shape[0] for p in lists)
+    # the candidate set those lists hold contains every id ivf_topk returns
+    cand_ids = {
+        r["vec_id"]
+        for r in ivf_assign(base, cents)
+        .filter(F.col("ivf_list").isin(lists))
+        .select("vec_id")
+        .collect()
+    }
+    top_ids = {
+        r["vec_id"]
+        for r in ivf_topk(base, query_vec, dim=len(query_vec), cents=cents).collect()
+    }
+    assert top_ids <= cand_ids

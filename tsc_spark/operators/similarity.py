@@ -143,6 +143,36 @@ def hyperplane_buckets(
     )
 
 
+def lsh_probe_set(
+    query_vec: list[float],
+    dim: int,
+    n_planes: int = 8,
+    probe_radius: int = 2,
+    seed: int = 7,
+) -> list[int]:
+    """Multi-probe bucket set for a query: its own bucket plus every
+    bucket within Hamming distance ``probe_radius`` (radius 2 over 8
+    planes = 37 of 256).  Exposed separately so the bench harness can
+    measure the candidate scan fraction the probe set actually touches
+    next to the recall it buys."""
+    from itertools import combinations
+
+    planes = _planes(dim, n_planes, seed=seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for j in range(n_planes):
+        if float(planes[j] @ qv) > 0:
+            qbucket |= 1 << j
+    probes = [qbucket]
+    for r in range(1, probe_radius + 1):
+        for flips in combinations(range(n_planes), r):
+            b = qbucket
+            for j in flips:
+                b ^= 1 << j
+            probes.append(b)
+    return probes
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     query_vec: list[float],
@@ -159,21 +189,7 @@ def ann_topk_lsh(
     misses near neighbors that fall on the far side of one hyperplane.
     At 10^12-vector scale the bucketed table is written partitioned by
     bucket → the probe set is an IN-list partition-pruned scan."""
-    from itertools import combinations
-
-    planes = _planes(dim, n_planes, seed=7)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qbucket = 0
-    for j in range(n_planes):
-        if float(planes[j] @ qv) > 0:
-            qbucket |= 1 << j
-    probes = [qbucket]
-    for r in range(1, probe_radius + 1):
-        for flips in combinations(range(n_planes), r):
-            b = qbucket
-            for j in flips:
-                b ^= 1 << j
-            probes.append(b)
+    probes = lsh_probe_set(query_vec, dim, n_planes, probe_radius, seed=7)
     bucketed = hyperplane_buckets(emb, dim, n_planes, seed=7)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k)
@@ -363,6 +379,19 @@ def ivf_assign(emb: DataFrame, cents: np.ndarray, impl: str = "pandas") -> DataF
     return emb.withColumn("ivf_list", assign_udf("embedding"))
 
 
+def ivf_probe_lists(
+    query_vec: list[float], cents: np.ndarray, nprobe: int = 4
+) -> list[int]:
+    """The ``nprobe`` inverted lists nearest the query (by cosine against
+    the coarse centroids).  det_rowdot: probe choice must be bit-stable
+    across hosts so the committed oracle's probe set always matches a
+    driver-side refit.  Exposed separately so the bench harness can
+    measure the scan fraction those lists hold next to measured recall."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(float(np.sqrt(np.add.reduce(q * q))), 1e-12)
+    return [int(p) for p in np.argsort(-det_rowdot(cents, qn))[: max(nprobe, 1)]]
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -375,11 +404,7 @@ def ivf_topk(
     """Approximate top-k via IVF: score only the nprobe nearest lists."""
     if cents is None:
         cents = ivf_fit_centroids(emb, dim, n_centroids)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(float(np.sqrt(np.add.reduce(q * q))), 1e-12)
-    # det_rowdot: probe choice must be bit-stable across hosts so the
-    # committed oracle's probe set always matches a driver-side refit
-    probe_lists = np.argsort(-det_rowdot(cents, qn))[: max(nprobe, 1)].tolist()
+    probe_lists = ivf_probe_lists(query_vec, cents, nprobe)
     assigned = ivf_assign(emb, cents)
     cand = assigned.filter(F.col("ivf_list").isin([int(p) for p in probe_lists]))
     return cosine_topk(cand.drop("ivf_list"), query_vec, k)

@@ -20,7 +20,13 @@ cluster, 4x executors bring 4x machines (private memory buses and
 clock domains), which is the regime the small-width pairs (2->8)
 measure directly.
 
-Usage: python scripts/host_curve.py [--levels 2,4,8,16,32] [--repeats 3]
+``--kernel mem`` swaps the arithmetic kernel for a 256 MB streaming
+sum (memory-bandwidth bound; reports MB/s instead of Mrows/s) — on
+this VM bandwidth scales 8->32 at 0.821, notably better than
+arithmetic, which brackets where a scan+agg pipeline should land.
+
+Usage: python scripts/host_curve.py [--levels 2,4,8,16,32]
+                                    [--repeats 3] [--kernel cpu|mem]
 Prints one JSON line: {"best_mrows": {...}, "per_core": {...},
 "pair_eff": {"2->8": ..., "4->16": ..., "8->32": ...}}
 """
@@ -45,23 +51,37 @@ def _cpu_work(_):
     return 60 * 1_000_000 / dt
 
 
-def _run(n: int) -> float:
+def _mem_work(_):
+    import numpy as np
+
+    a = np.zeros(32_000_000, dtype=np.float64)  # 256 MB working set
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(6):
+        s += a.sum()
+    dt = time.perf_counter() - t0
+    return 6 * a.nbytes / dt  # bytes/s; the /1e6 below renders MB/s
+
+
+def _run(n: int, fn) -> float:
     with mp.Pool(n) as p:
-        return sum(p.map(_cpu_work, range(n)))
+        return sum(p.map(fn, range(n)))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", default="2,4,8,16,32")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--kernel", choices=["cpu", "mem"], default="cpu")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
+    fn = _cpu_work if args.kernel == "cpu" else _mem_work
 
-    _run(max(levels))  # untimed governor ramp (same rationale as bench.py)
+    _run(max(levels), fn)  # untimed governor ramp (same rationale as bench.py)
     agg: dict[int, list[float]] = {n: [] for n in levels}
     for _ in range(max(args.repeats, 1)):
         for n in levels:  # interleaved so window drift hits all levels alike
-            agg[n].append(_run(n))
+            agg[n].append(_run(n, fn))
     best = {n: max(v) for n, v in agg.items()}
     pairs = [(a, b) for a in levels for b in levels if b == 4 * a]
     print(json.dumps({

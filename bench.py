@@ -329,6 +329,7 @@ def run_ann_recall(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from tsc_spark.operators.similarity import (
+        ann_topk_lsh,
         hyperplane_buckets,
         ivf_assign,
         ivf_fit_centroids,
@@ -362,10 +363,23 @@ def run_ann_recall(spark, sf_dir: str) -> dict:
         ).cache()
         try:
             total = base.count()
-            lsh_cand = (
-                hyperplane_buckets(base, dim, 8, seed=7)
-                .filter(F.col("bucket").isin(lsh_probe_set(qv, dim)))
-                .count()
+            bucketed = hyperplane_buckets(base, dim, 8, seed=7)
+            lsh_cand = bucketed.filter(
+                F.col("bucket").isin(lsh_probe_set(qv, dim))
+            ).count()
+            # the probe-radius knob, measured: radius 3 widens the scan
+            # (93/256 buckets vs 37/256) and buys recall — emitting both
+            # radii shows the recall/scan trade is a configuration, not
+            # a ceiling (the DRIVER query stays at the oracled radius 2)
+            r3_ids = {
+                r["vec_id"]
+                for r in ann_topk_lsh(base, qv, dim, probe_radius=3).collect()
+            }
+            lsh_cand_r3 = bucketed.filter(
+                F.col("bucket").isin(lsh_probe_set(qv, dim, probe_radius=3))
+            ).count()
+            out["recall_at_10"]["ann_topk_lsh_r3"] = round(
+                len(r3_ids & exact) / max(len(exact), 1), 2
             )
             cents = ivf_fit_centroids(base, dim)
             ivf_cand = (
@@ -375,6 +389,7 @@ def run_ann_recall(spark, sf_dir: str) -> dict:
             )
             out["ann_scan_frac"] = {
                 "ann_topk_lsh": round(lsh_cand / max(total, 1), 3),
+                "ann_topk_lsh_r3": round(lsh_cand_r3 / max(total, 1), 3),
                 "ann_topk_ivf": round(ivf_cand / max(total, 1), 3),
             }
         finally:

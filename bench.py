@@ -127,8 +127,17 @@ def run_pipeline_bench(
         corpus = corpus_dir or os.path.join(workdir, "tokens")
         if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
             # 4 waves of tasks per core: fine-grained scheduling absorbs
-            # stragglers (a single-wave scan leaves cores idle at the tail)
-            parts = 4 * spark.sparkContext.defaultParallelism
+            # stragglers (a single-wave scan leaves cores idle at the tail).
+            # Additionally cap ~2M docs per generation task: at 512M+ docs
+            # a 4-wave split makes individual tasks run for 20+ minutes,
+            # and in local mode (maxFailures=1, no speculation) one task
+            # lost to a rare worker-pipe stall kills the whole job —
+            # shorter tasks bound the exposure per task and the straggler
+            # tail, the same reason real clusters bound task size
+            parts = max(
+                4 * spark.sparkContext.defaultParallelism,
+                (n_docs + 1_999_999) // 2_000_000,
+            )
             synth_tokens_distributed(spark, n_docs, partitions=parts).write.mode(
                 "overwrite"
             ).parquet(corpus)
